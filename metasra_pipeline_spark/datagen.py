@@ -46,24 +46,39 @@ _SURNAMES = ["cohort-alpha", "cohort-beta", "cohort-gamma", "cohort-delta",
              "cohort-epsilon", "cohort-zeta"]
 
 
+_PROTOCOLS = ["total RNA paired-end", "poly-A selected", "ribo-depleted",
+              "single cell SMART-seq", "bulk ATAC protocol", "ChIP input"]
+_CONDITIONS = ["untreated control", "TNF stimulated 6h", "hypoxia chamber",
+               "serum starved", "IFN gamma treated", "vehicle DMSO"]
+
+
 def _entity_attrs(ent_idx: int) -> dict[str, str]:
-    """Canonical attribute dict for entity ``ent_idx`` (pure function)."""
+    """Canonical attribute dict for entity ``ent_idx`` (pure function).
+
+    Fields vary independently per entity (per-entity RNG, not modular
+    cycling) so that distinct entities rarely collide into
+    near-duplicates — mirrors real SRA submissions where distinct
+    samples differ in several attributes, not just a serial number.
+    """
     rng = random.Random(0xE5717 + ent_idx)
     kind = ent_idx % 3
     attrs: dict[str, str] = {}
     # a distinctive stable identifier — the realistic "strong" linkage signal
     attrs["subject id"] = f"{rng.choice(_SURNAMES)}-{ent_idx:06d}"
     if kind == 0:
-        attrs["tissue"] = _TISSUES[ent_idx % len(_TISSUES)]
-        attrs["sex"] = "female" if ent_idx % 2 else "male"
-        attrs["age"] = str(20 + (ent_idx * 7) % 60)
+        attrs["tissue"] = rng.choice(_TISSUES)
+        attrs["sex"] = rng.choice(["female", "male"])
+        attrs["age"] = str(rng.randrange(20, 80))
+        attrs["protocol"] = rng.choice(_PROTOCOLS)
     elif kind == 1:
-        attrs["cell line"] = _CELL_LINES[ent_idx % len(_CELL_LINES)]
-        attrs["passage"] = str(1 + ent_idx % 20)
+        attrs["cell line"] = rng.choice(_CELL_LINES)
+        attrs["passage"] = str(rng.randrange(1, 25))
+        attrs["condition"] = rng.choice(_CONDITIONS)
     else:
-        attrs["cell type"] = _CELL_TYPES[ent_idx % len(_CELL_TYPES)]
-        attrs["marker"] = _MARKERS[ent_idx % len(_MARKERS)]
-        attrs["age"] = f"{1 + ent_idx % 12} Year old"
+        attrs["cell type"] = rng.choice(_CELL_TYPES)
+        attrs["marker"] = rng.choice(_MARKERS)
+        attrs["age"] = f"{rng.randrange(1, 13)} Year old"
+        attrs["condition"] = rng.choice(_CONDITIONS)
     return attrs
 
 
@@ -90,8 +105,10 @@ def _doc_for(doc_idx: int, n_entities: int, seed: int,
             if old in attrs:
                 attrs[new] = attrs.pop(old)
                 break
-    elif variant == 2:  # typo in one value
-        k = rng.choice(sorted(attrs))
+    elif variant == 2:  # typo in a hand-typed value (identifiers are
+        # machine-copied in practice and stay intact)
+        cands = [k for k in sorted(attrs) if k != "subject id"]
+        k = rng.choice(cands)
         attrs[k] = _typo(attrs[k], rng)
     elif variant == 3:  # drop a non-identifier attribute
         droppable = [k for k in sorted(attrs) if k != "subject id"]

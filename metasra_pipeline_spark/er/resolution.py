@@ -1,0 +1,282 @@
+"""Cross-document entity resolution (the north_rule layer).
+
+blocking → pairwise scoring → transitive clustering:
+
+1. **Profiles**: per doc, a normalized profile string + token set derived
+   from span text (values only, keys are schema-ish noise).
+2. **Blocking**: lowercased token keys + char-n-gram keys over span text
+   (north_star).  Hot keys (stopword-ish) are capped: keys whose doc
+   count exceeds ``max_block`` are dropped and logged to the metrics
+   frame — explicit skew handling on top of AQE's skew-join splitting.
+3. **Pairwise scoring**: candidates = doc pairs sharing a key; scored in
+   one vectorized pandas UDF fusing Jaro-Winkler + token-set Jaccard +
+   Levenshtein ratio (functions/similarity.py).
+4. **Connected components**: alternating large-star / small-star
+   (Kiveris et al., "Connected Components in MapReduce and Beyond") as
+   self-joins, localCheckpoint per round to cut lineage, min-doc_id as
+   cluster representative.
+5. **Consolidation**: per-cluster canonical mapped-term set
+   (build_metasra_database_files.py:48-110 at cluster grain).
+
+The reference has no cross-doc clustering (its Condor jobs are
+shared-nothing, create_condorized_pipeline.py:81-119); BASELINE.json
+north_rule makes it explicit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.similarity import pair_score
+from ..functions.text import treebank_tokenize
+
+_STOPWORDS = {
+    "the", "and", "for", "with", "from", "this", "that", "was", "were",
+    "not", "applicable", "missing", "none", "n/a", "sample", "cell",
+    "cells", "type", "line", "name", "source", "tissue",
+}
+
+
+# ------------------------------------------------------------------ 1
+def doc_profiles(documents: DataFrame) -> DataFrame:
+    """(doc_id, profile, tokens) — normalized value text per doc.
+
+    Pure native ops: explode spans, keep text payload values, lowercase,
+    split; one groupBy(doc_id) shuffle that every downstream step reuses.
+    """
+    sp = (documents
+          .select("doc_id", F.explode("spans").alias("span"))
+          .where(F.col("span.kind") == "text")
+          .select("doc_id",
+                  F.lower(F.col("span.text")).alias("payload")))
+    val = F.when(F.instr("payload", ": ") > 0,
+                 F.expr("substring(payload, instr(payload, ': ') + 2)")
+                 ).otherwise(F.col("payload"))
+    toks = (sp.select("doc_id", val.alias("value"))
+            .select("doc_id",
+                    F.explode(F.split("value", r"[^0-9a-z+']+")).alias("tok"))
+            .where(F.length("tok") > 0))
+    return (toks.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_set("tok")).alias("tokens"))
+            .select("doc_id", "tokens",
+                    F.array_join("tokens", " ").alias("profile")))
+
+
+# ------------------------------------------------------------------ 2
+def blocking_keys(profiles: DataFrame, ngram: int = 4,
+                  max_block: int = 200) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, key) blocking table + (key, n_docs) dropped-hot-keys
+    metrics.  Keys: lowercased tokens (len ≥ 3, non-numeric, non-stop)
+    and char-n-grams of the distinctive tokens."""
+    tok_keys = (profiles
+                .select("doc_id", F.explode("tokens").alias("tok"))
+                .where((F.length("tok") >= 3)
+                       & ~F.col("tok").isin(*sorted(_STOPWORDS)))
+                .select("doc_id", F.col("tok").alias("key")))
+    gram_keys = (tok_keys
+                 .where(F.length("key") >= ngram + 2)
+                 .select("doc_id",
+                         F.explode(F.expr(
+                             f"transform(sequence(1, length(key) - {ngram - 1}),"
+                             f" i -> substring(key, i, {ngram}))")).alias("key"))
+                 .select("doc_id", F.concat(F.lit("g:"), "key").alias("key")))
+    keys = tok_keys.unionByName(gram_keys).distinct()
+    sizes = keys.groupBy("key").agg(F.countDistinct("doc_id").alias("n_docs"))
+    hot = sizes.where(F.col("n_docs") > max_block)
+    kept = keys.join(hot.select("key"), on="key", how="left_anti")
+    return kept, hot
+
+
+# ------------------------------------------------------------------ 3
+_PAIR_SCHEMA = T.StructType([
+    T.StructField("doc_a", T.StringType()),
+    T.StructField("doc_b", T.StringType()),
+    T.StructField("score", T.DoubleType()),
+])
+
+
+def candidate_pairs(keys: DataFrame) -> DataFrame:
+    """Self-join on blocking key; doc_a < doc_b dedups orientation.
+    AQE skew-join handles residual hot keys."""
+    a = keys.alias("a")
+    b = keys.alias("b")
+    return (a.join(b, on="key")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def token_idf(profiles: DataFrame, min_df: int = 5,
+              max_terms: int = 200_000) -> tuple[dict[str, float], float]:
+    """IDF weights for the *frequent* head of the token distribution.
+
+    Only tokens with document frequency ≥ ``min_df`` ship to executors
+    (Zipf head — bounded size at any corpus scale); everything else is
+    rare and defaults to the max idf.  One groupBy + a bounded collect.
+    """
+    n_docs = profiles.count()
+    import math
+    rows = (profiles.select(F.explode("tokens").alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("df"))
+            .where(F.col("df") >= min_df)
+            .orderBy(F.desc("df")).limit(max_terms)
+            .collect())
+    default_idf = math.log(max(n_docs, 2) / 1.0)
+    return ({r["tok"]: math.log(max(n_docs, 2) / r["df"]) for r in rows},
+            default_idf)
+
+
+def score_pairs(pairs: DataFrame, profiles: DataFrame,
+                idf: dict[str, float] | None = None,
+                default_idf: float = 10.0) -> DataFrame:
+    """(doc_a, doc_b, score) via one mapInPandas pass fusing IDF-weighted
+    token similarity + JW + Levenshtein-ratio (vectorized Arrow
+    batches)."""
+    enriched = (pairs
+                .join(profiles.select(F.col("doc_id").alias("doc_a"),
+                                      F.col("profile").alias("prof_a"),
+                                      F.col("tokens").alias("toks_a")),
+                      on="doc_a")
+                .join(profiles.select(F.col("doc_id").alias("doc_b"),
+                                      F.col("profile").alias("prof_b"),
+                                      F.col("tokens").alias("toks_b")),
+                      on="doc_b"))
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scores = [
+                pair_score(pa, pb, ta, tb, idf=idf, default_idf=default_idf)
+                for pa, pb, ta, tb in zip(pdf["prof_a"], pdf["prof_b"],
+                                          pdf["toks_a"], pdf["toks_b"])
+            ]
+            yield pd.DataFrame({"doc_a": pdf["doc_a"],
+                                "doc_b": pdf["doc_b"],
+                                "score": scores})
+
+    return enriched.mapInPandas(score_batches, schema=_PAIR_SCHEMA)
+
+
+# ------------------------------------------------------------------ 4
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         checkpoint: bool = True) -> DataFrame:
+    """Alternating large-star / small-star CC → (doc_id, cluster_id).
+
+    Each round is two self-join+aggregate passes; converges in
+    O(log n) rounds; localCheckpoint per round cuts lineage (swap for
+    reliable checkpoints / Iceberg snapshots on a cluster).
+    """
+    # symmetric edge list (u, v), self-loops implicit via least() below
+    e = (edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+         .unionByName(edges.select(F.col("doc_b").alias("u"),
+                                   F.col("doc_a").alias("v")))
+         .distinct())
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+
+    def min_neighbor(E: DataFrame) -> DataFrame:
+        return (E.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: for v ∈ N(u) with v > u attach v to m(u)
+        m = min_neighbor(e)
+        ls = (e.join(m, on="u")
+              .where(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .where(F.col("u") != F.col("v")))
+        e = (ls.unionByName(ls.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+             .distinct())
+        # small-star: for v ∈ N(u) with v ≤ u attach v (and u) to m(u)
+        m = min_neighbor(e)
+        ss_pairs = (e.join(m, on="u")
+                    .where(F.col("v") <= F.col("u"))
+                    .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                    .unionByName(m.select(F.col("u"), F.col("m").alias("v"))))
+        ss = ss_pairs.where(F.col("u") != F.col("v")).distinct()
+        e = (ss.unionByName(ss.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v"))).distinct())
+        if checkpoint:
+            e = e.localCheckpoint(eager=True)
+        sig = (e.select(F.count("*").alias("n"),
+                        F.expr("bit_xor(xxhash64(u, v))").alias("h"))
+               .first())
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # after convergence every node points at its component minimum
+    labels = (e.groupBy("u").agg(F.min("v").alias("root"))
+              .select(F.col("u").alias("doc_id"),
+                      F.least("root", "u").alias("cluster_id")))
+    return labels
+
+
+def assign_clusters(documents: DataFrame, labels: DataFrame) -> DataFrame:
+    """Every doc gets a cluster; singletons are their own cluster."""
+    return (documents.select("doc_id")
+            .join(labels, on="doc_id", how="left")
+            .select("doc_id",
+                    F.coalesce("cluster_id", "doc_id").alias("cluster_id")))
+
+
+# ------------------------------------------------------------------ 5
+def cluster_terms(clusters: DataFrame, mapped_terms: DataFrame) -> DataFrame:
+    """(cluster_id, term_id) — canonical union of member mapped terms."""
+    return (clusters.join(mapped_terms, on="doc_id")
+            .select("cluster_id", "term_id").distinct())
+
+
+# ------------------------------------------------------------ harness
+def resolve_entities(spark: SparkSession, documents: DataFrame,
+                     threshold: float = 0.65, ngram: int = 4,
+                     max_block: int = 200,
+                     checkpoint: bool = True) -> dict[str, DataFrame]:
+    """Full ER pass → {profiles, pairs, clusters, metrics}."""
+    profiles = doc_profiles(documents)
+    if checkpoint:
+        profiles = profiles.localCheckpoint(eager=True)
+    idf, default_idf = token_idf(profiles)
+    keys, hot = blocking_keys(profiles, ngram=ngram, max_block=max_block)
+    pairs = candidate_pairs(keys)
+    scored = score_pairs(pairs, profiles, idf=idf, default_idf=default_idf)
+    if checkpoint:
+        scored = scored.localCheckpoint(eager=True)
+    edges = scored.where(F.col("score") >= threshold)
+    labels = connected_components(edges, checkpoint=checkpoint)
+    clusters = assign_clusters(documents, labels)
+    return {"profiles": profiles, "pairs": scored, "clusters": clusters,
+            "hot_keys": hot}
+
+
+def pairwise_f1(scored_pairs: DataFrame, truth: DataFrame,
+                threshold: float) -> dict[str, float]:
+    """P/R/F1 of ``score ≥ threshold`` against ground-truth entity ids,
+    evaluated over the candidate pairs (labeled pairs at the same
+    blocking keys, per BASELINE.json)."""
+    t_a = truth.select(F.col("doc_id").alias("doc_a"),
+                       F.col("entity_id").alias("ent_a"))
+    t_b = truth.select(F.col("doc_id").alias("doc_b"),
+                       F.col("entity_id").alias("ent_b"))
+    j = (scored_pairs.join(t_a, on="doc_a").join(t_b, on="doc_b")
+         .select((F.col("score") >= threshold).alias("pred"),
+                 (F.col("ent_a") == F.col("ent_b")).alias("actual")))
+    agg = j.agg(
+        F.sum(F.when(F.col("pred") & F.col("actual"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("actual"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("actual"), 1).otherwise(0)).alias("fn"),
+    ).first()
+    tp, fp, fn = agg["tp"] or 0, agg["fp"] or 0, agg["fn"] or 0
+    p = tp / (tp + fp) if tp + fp else 1.0
+    r = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"precision": p, "recall": r, "f1": f1,
+            "tp": tp, "fp": fp, "fn": fn}

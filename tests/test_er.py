@@ -1,0 +1,78 @@
+"""Entity-resolution layer: similarity kernels, connected components,
+and the pairwise-F1 ≥ 0.99 gate (BASELINE.json north_rule)."""
+
+import pytest
+
+from metasra_pipeline_spark.datagen import synth_documents
+from metasra_pipeline_spark.er.resolution import (
+    connected_components,
+    pairwise_f1,
+    resolve_entities,
+)
+from metasra_pipeline_spark.functions.similarity import (
+    jaro_winkler,
+    levenshtein,
+    pair_score,
+    token_set_jaccard,
+)
+
+
+def test_similarity_kernels():
+    assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611, abs=1e-3)
+    assert jaro_winkler("abc", "abc") == 1.0
+    assert jaro_winkler("abc", "xyz") == 0.0
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert token_set_jaccard(["a", "b"], ["b", "c"]) == pytest.approx(1 / 3)
+    assert pair_score("same text", "same text",
+                      ["same", "text"], ["same", "text"]) == pytest.approx(1.0)
+
+
+def test_connected_components_vs_python_union_find(spark):
+    import random
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    # ground truth: plain union-find
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {}
+    for n in nodes:
+        truth.setdefault(find(n), set()).add(n)
+    expected = {n: min(comp) for comp in truth.values() for n in comp
+                if len(comp) > 1 or any(n in e for e in edges)}
+
+    e_df = spark.createDataFrame(edges, "doc_a: string, doc_b: string")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(e_df).collect()}
+    touched = {x for e in edges for x in e}
+    assert got == {n: min_root for n, min_root in
+                   ((n, min(c)) for c in truth.values() if c & touched
+                    for n in c) if n in touched}
+
+
+def test_er_f1_gate(spark):
+    """The north_rule gate: pairwise F1 ≥ 0.99 on labeled pairs sharing a
+    blocking key, against the generator's ground-truth entities."""
+    gen = synth_documents(spark, 300, seed=42).localCheckpoint()
+    docs = gen.select("doc_id", "spans")
+    truth = gen.select("doc_id", "entity_id")
+    res = resolve_entities(spark, docs, threshold=0.65)
+    m = pairwise_f1(res["pairs"], truth, threshold=0.65)
+    assert m["f1"] >= 0.99, m
+    # clusters must cover every document exactly once
+    clusters = res["clusters"]
+    assert clusters.count() == 300
+    assert clusters.select("doc_id").distinct().count() == 300
