@@ -1,0 +1,97 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two throughput headliners mirror the north_star's docs/sec target:
+- ``map_pipeline``: the full 29-stage semantic mapping pipeline over
+  synthesized kv-span documents (docs/sec reported);
+- ``er_resolve``: blocking → scoring → connected components over
+  synthesized duplicate-cluster documents (docs/sec reported).
+The relational/dedup/similarity queries run against the sf parquet
+tables.  Scaling evidence (local[8] vs local[32]) is produced by
+``scripts/scaling_bench.py`` → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_map_docs = int(os.environ.get("BENCH_MAP_DOCS", "1000"))
+    n_er_docs = int(os.environ.get("BENCH_ER_DOCS", "2000"))
+
+    from metasra_pipeline_spark.session import get_spark
+    spark = get_spark("metasra-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+    from metasra_pipeline_spark.datagen import synth_documents
+    from metasra_pipeline_spark.er.resolution import resolve_entities
+    from metasra_pipeline_spark.plans.pipeline import run_mapping_pipeline
+    from metasra_pipeline_spark.refdata import load_refdata
+
+    qs = em.queries()
+    timings: dict[str, float] = {}
+
+    verbose = os.environ.get("BENCH_VERBOSE", "") == "1"
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+        if verbose:
+            print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    relational = ["q01_pricing_summary", "q03_join_revenue", "q06_window_min",
+                  "q09_interval_containment", "q15_lsh_pairs", "q16_simhash",
+                  "q18_jaccard_pairs", "q21_knn_per_label",
+                  "q23_quality", "q27_graph_components"]
+    for name in relational:
+        timed(name, lambda n=name: qs[n](spark, sf_dir)
+              .write.format("noop").mode("overwrite").save())
+
+    # semantic mapping pipeline throughput (docs/sec)
+    ref = load_refdata(spark)
+    map_docs = (synth_documents(spark, n_map_docs, seed=42)
+                .select("doc_id", "spans").localCheckpoint(eager=True))
+    t0 = time.time()
+    run_mapping_pipeline(spark, map_docs, ref).mapped_terms \
+        .write.format("noop").mode("overwrite").save()
+    t_map = time.time() - t0
+    timings["map_pipeline"] = round(t_map, 3)
+    if verbose:
+        print(f"# map_pipeline: {t_map:.1f}s", file=sys.stderr, flush=True)
+
+    # entity-resolution throughput (docs/sec)
+    er_docs = (synth_documents(spark, n_er_docs, seed=43)
+               .select("doc_id", "spans").localCheckpoint(eager=True))
+    t0 = time.time()
+    resolve_entities(spark, er_docs)["clusters"] \
+        .write.format("noop").mode("overwrite").save()
+    t_er = time.time() - t0
+    timings["er_resolve"] = round(t_er, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": int(cpus),
+        "map_docs_per_sec": round(n_map_docs / t_map, 2),
+        "er_docs_per_sec": round(n_er_docs / t_er, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join), SimHash, and n-gram Jaccard near-dup — all as declarative
+DataFrame plans over generic (id, text) columns.  Hashes are md5-derived
+(``conv(substr(md5(x),1,15),16,10)``) so results are portable across
+engines (the DuckDB oracle computes the identical value), deterministic,
+and partition-independent.
+
+Scale notes: every stage is groupBy/join on derived keys — map-side
+combine applies, no driver loops; LSH candidate generation is an
+equi-join on band buckets (the classic shuffle-based design), and exact
+dedup is one hash aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _h(col, salt: str | None = None):
+    """Portable 60-bit hash: md5 hex prefix → bigint."""
+    x = F.concat(F.lit(salt), col) if salt is not None else col
+    return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(id cols…, tok) — lowercase, split on non-alphanumerics, drop
+    empties.  The shared tokenization for all dedup/text operators (the
+    oracle replicates it with regexp_split_to_array)."""
+    return (df.withColumn(
+        "tok", F.explode(F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+")))
+        .where(F.length("tok") > 0).drop(text_col))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup → (text_hash, canonical_id, n_copies)."""
+    return (df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count("*").alias("n_copies")))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 16) -> DataFrame:
+    """(id, h_idx, minhash) — k md5-salted min-hashes over the token set.
+    Long format keeps the plan one explode + one groupBy."""
+    toks = tokens(df.select(id_col, text_col), text_col).distinct()
+    hashes = toks.select(
+        id_col,
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("h_idx"),
+        F.col("tok"))
+    sig = (hashes
+           .withColumn("h", _h(F.concat(F.col("h_idx").cast("string"),
+                                        F.lit("|"), F.col("tok"))))
+           .groupBy(id_col, "h_idx").agg(F.min("h").alias("minhash")))
+    return sig
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        band_size: int = 4) -> DataFrame:
+    """MinHash-LSH: band the signature, bucket-join → candidate pairs
+    (id_a < id_b).  Docs agreeing on all hashes of any band collide."""
+    banded = (signatures
+              .withColumn("band", (F.col("h_idx") / band_size).cast("int"))
+              .groupBy(id_col, "band")
+              .agg(F.md5(F.concat_ws(",", F.array_sort(
+                  F.collect_list(F.concat_ws(":", "h_idx", "minhash"))
+              ))).alias("bucket")))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (a.join(b, on=["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", threshold: float = 0.5,
+                  min_token_len: int = 4, max_df: int = 50) -> DataFrame:
+    """Token-set Jaccard near-dup: block on distinctive tokens
+    (len ≥ min_token_len, document frequency ≤ max_df — hot-key cap),
+    then exact Jaccard on the blocked pairs → (id_a, id_b, jac)."""
+    toks = tokens(df.select(id_col, text_col), text_col).distinct()
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_toks"))
+    keys = (toks.where(F.length("tok") >= min_token_len)
+            .join(toks.groupBy("tok").agg(F.count("*").alias("df"))
+                  .where(F.col("df") <= max_df), on="tok"))
+    a = keys.select(F.col(id_col).alias("id_a"), "tok")
+    b = keys.select(F.col(id_col).alias("id_b"), "tok")
+    cand = (a.join(b, on="tok").where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    inter = (cand
+             .join(toks.select(F.col(id_col).alias("id_a"), "tok"), on="id_a")
+             .join(toks.select(F.col(id_col).alias("id_b"), "tok"),
+                   on=["id_b", "tok"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col(id_col).alias("id_a"),
+                               F.col("n_toks").alias("n_a")), on="id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"),
+                               F.col("n_toks").alias("n_b")), on="id_b")
+            .withColumn("jac", F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
+            .where(F.col("jac") >= threshold)
+            .select("id_a", "id_b", "jac"))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """(id, simhash) — md5-derived ``bits``-bit SimHash over the token
+    multiset (sign of per-bit vote, bit set when vote > 0)."""
+    toks = tokens(df.select(id_col, text_col), text_col)
+    bit_votes = (toks
+                 .withColumn("h", _h(F.col("tok")))
+                 .select(id_col, "h",
+                         F.explode(F.array(*[F.lit(b) for b in range(bits)]))
+                         .alias("bit"))
+                 .withColumn("vote",
+                             F.when(F.expr("shiftright(h, bit) & 1") == 1, 1)
+                             .otherwise(-1))
+                 .groupBy(id_col, "bit").agg(F.sum("vote").alias("v")))
+    return (bit_votes
+            .withColumn("contrib",
+                        F.when(F.col("v") > 0,
+                               F.expr("shiftleft(1L, bit)"))
+                        .otherwise(F.lit(0).cast("bigint")))
+            .groupBy(id_col).agg(F.sum("contrib").alias("simhash")))
+
+
+def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", shingle_words: int = 3) -> DataFrame:
+    """(id, fingerprint) — min hash over word ``shingle_words``-grams: the
+    classic content-defined document fingerprint.  Computed entirely
+    row-local (split → transform → aggregate over the array): zero
+    shuffles, order-deterministic (collect_list would not be)."""
+    ts = F.filter(F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+"),
+                  lambda t: F.length(t) > 0)
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size(ts) - {shingle_words - 1}, 1)),"
+        f" i -> array_join(slice(ts, i, {shingle_words}), ' '))")
+    return (df.select(id_col, ts.alias("ts"))
+            .select(id_col, F.explode(shingles).alias("shingle"))
+            .withColumn("h", _h(F.col("shingle")))
+            .groupBy(id_col).agg(F.min("h").alias("fingerprint")))

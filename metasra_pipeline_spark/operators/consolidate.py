@@ -44,13 +44,19 @@ def reachable_terms(final_matches: DataFrame, inf_edges: DataFrame) -> DataFrame
                  .distinct())
     reach = seed.unionByName(rv_seeded).distinct()
     term_edges = inf_edges.where(~F.col("src_id").startswith("RV:"))
-    for _ in range(_CLOSURE_DEPTH):
+    for i in range(_CLOSURE_DEPTH):
+        # materialize per round: reach appears twice per iteration, so an
+        # unmaterialized loop doubles the plan every hop (2^depth blowup)
+        reach = reach.localCheckpoint(eager=True)
         hop = (reach.join(term_edges.select("doc_id",
                                             F.col("src_id").alias("term_id"),
                                             "dst_id"),
                           on=["doc_id", "term_id"])
                .select("doc_id", F.col("dst_id").alias("term_id")))
         new_reach = reach.unionByName(hop).distinct()
+        if i >= 2 and new_reach.count() == reach.count():
+            reach = new_reach
+            break
         reach = new_reach
     return reach
 

@@ -63,7 +63,14 @@ def cell_line_term_ids(ref: RefData) -> DataFrame:
 def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
                          ref: RefData, checkpoint: bool = True,
                          with_ancestors: bool = False) -> PipelineResult:
+    # Partition ONCE by doc_id.  Every downstream per-doc window /
+    # groupBy / self-join keys on (doc_id, …) — HashPartitioning(doc_id)
+    # satisfies ClusteredDistribution of any superset key, so Catalyst
+    # inserts no further exchanges for the per-doc stages; token-keyed
+    # join-backs broadcast under AQE.  Net: ~one full-data shuffle for
+    # the whole pipeline — the shape that survives 100 TB.
     kv = S.key_value_filter(documents_to_kv(documents), ref)   # F1
+    kv = kv.repartition("doc_id")
     kv = _materialize(kv, checkpoint)
 
     tok = S.init_tokens(kv)                                    # F3
@@ -89,22 +96,28 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
     inf = spark.createDataFrame([], schema="doc_id: string, src_id: string, "
                                            "dst_id: string, itype: string")
 
+    def grow(nt, inf_acc, edges):
+        """Fold one inference stage's edges into the node-term set and
+        edge accumulator, materializing both — the alternative
+        (self-referential union chains) doubles the logical plan per
+        stage (2^k subtree copies by the last stage)."""
+        inf_acc = _materialize(inf_acc.unionByName(edges), checkpoint)
+        nt = _materialize(nt.unionByName(_dsts(edges)).distinct(),
+                          checkpoint)
+        return nt, inf_acc
+
     e1 = I.linked_terms_of_superterms(node_terms, ref)         # I1
-    inf = inf.unionByName(e1)
-    node_terms = node_terms.unionByName(_dsts(e1)).distinct()
+    node_terms, inf = grow(node_terms, inf, e1)
     e2 = I.cell_line_to_implied_disease(node_terms, ref)       # I2
-    inf = inf.unionByName(e2)
-    node_terms = node_terms.unionByName(_dsts(e2)).distinct()
+    node_terms, inf = grow(node_terms, inf, e2)
 
     m = P.remove_subinterval_matches(m, inf)                   # P3
     m = _materialize(m, checkpoint)
 
     e3 = I.custom_consequent_terms(node_terms, ref)            # I3
-    inf = inf.unionByName(e3)
-    node_terms = node_terms.unionByName(_dsts(e3)).distinct()
+    node_terms, inf = grow(node_terms, inf, e3)
     e7 = I.term_artifact_combinations(tok, node_terms, ref)    # I7
-    inf = inf.unionByName(e7)
-    node_terms = node_terms.unionByName(_dsts(e7)).distinct()
+    node_terms, inf = grow(node_terms, inf, e7)
 
     rv = I.extract_real_values(kv, tok, m, inf, ref)           # R1
     rv = rv.withColumn("consequent", F.lit(False))
@@ -112,12 +125,12 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
     m = P.filter_matches_by_priority(m)                        # P2
 
     e5, rv_cvcl = I.infer_cell_line_terms(node_terms, ref)     # I5
-    inf = inf.unionByName(e5)
-    node_terms = node_terms.unionByName(_dsts(e5)).distinct()
+    node_terms, inf = grow(node_terms, inf, e5)
     rv_all = rv.unionByName(
         rv_cvcl.select("doc_id", "property_id", "value", "unit_id")
         .withColumn("consequent", F.lit(True))
     ).dropDuplicates(["doc_id", "property_id", "value", "unit_id"])
+    rv_all = _materialize(rv_all, checkpoint)
 
     e6 = I.implied_developmental_stage(rv_all)                 # I6
     inf = inf.unionByName(e6)
