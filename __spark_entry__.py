@@ -203,7 +203,7 @@ def _q17_fingerprint(spark, sf):
 
 def _q18_jaccard_pairs(spark, sf):
     return D.jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text",
-                           threshold=0.97, min_token_len=6, max_df=10**9)
+                           threshold=0.97, min_token_len=6, max_df=2000)
 
 
 # --------------------------------------------------------- similarity search
@@ -545,7 +545,11 @@ def oracle_sql() -> dict[str, str]:
             dt AS (SELECT DISTINCT doc_id, tok FROM toks),
             sizes AS (SELECT doc_id, count(*) AS n_toks
                       FROM dt GROUP BY doc_id),
-            keys AS (SELECT doc_id, tok FROM dt WHERE len(tok) >= 6),
+            kdf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM dt
+                    WHERE len(tok) >= 6 GROUP BY tok),
+            keys AS (SELECT doc_id, dt.tok FROM dt
+                     JOIN kdf ON dt.tok = kdf.tok
+                     WHERE len(dt.tok) >= 6 AND kdf.df <= 2000),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                      FROM keys a JOIN keys b ON a.tok = b.tok
                      WHERE a.doc_id < b.doc_id),

@@ -78,14 +78,17 @@ def blocking_keys(profiles: DataFrame, ngram: int = 4,
                 .where((F.length("tok") >= 3)
                        & ~F.col("tok").isin(*sorted(_STOPWORDS)))
                 .select("doc_id", F.col("tok").alias("key")))
-    gram_keys = (tok_keys
-                 .where(F.length("key") >= ngram + 2)
-                 .select("doc_id",
-                         F.explode(F.expr(
-                             f"transform(sequence(1, length(key) - {ngram - 1}),"
-                             f" i -> substring(key, i, {ngram}))")).alias("key"))
-                 .select("doc_id", F.concat(F.lit("g:"), "key").alias("key")))
-    keys = tok_keys.unionByName(gram_keys).distinct()
+    if ngram > 0:
+        gram_keys = (tok_keys
+                     .where(F.length("key") >= ngram + 2)
+                     .select("doc_id",
+                             F.explode(F.expr(
+                                 f"transform(sequence(1, length(key) - {ngram - 1}),"
+                                 f" i -> substring(key, i, {ngram}))")).alias("key"))
+                     .select("doc_id", F.concat(F.lit("g:"), "key").alias("key")))
+        keys = tok_keys.unionByName(gram_keys).distinct()
+    else:
+        keys = tok_keys.distinct()
     sizes = keys.groupBy("key").agg(F.countDistinct("doc_id").alias("n_docs"))
     hot = sizes.where(F.col("n_docs") > max_block)
     kept = keys.join(hot.select("key"), on="key", how="left_anti")
@@ -134,10 +137,18 @@ def token_idf(profiles: DataFrame, min_df: int = 5,
 
 def score_pairs(pairs: DataFrame, profiles: DataFrame,
                 idf: dict[str, float] | None = None,
-                default_idf: float = 10.0) -> DataFrame:
+                default_idf: float = 10.0,
+                prefilter_jaccard: float = 0.2) -> DataFrame:
     """(doc_a, doc_b, score) via one mapInPandas pass fusing IDF-weighted
     token similarity + JW + Levenshtein-ratio (vectorized Arrow
-    batches)."""
+    batches).
+
+    A native exact-token Jaccard prefilter runs first (whole-stage
+    codegen, no Python): candidate pairs sharing only a template token
+    sit far below any plausible match threshold and dominate the
+    candidate set — pruning them JVM-side keeps the Python kernel off
+    the hot path.
+    """
     enriched = (pairs
                 .join(profiles.select(F.col("doc_id").alias("doc_a"),
                                       F.col("profile").alias("prof_a"),
@@ -147,14 +158,45 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
                                       F.col("profile").alias("prof_b"),
                                       F.col("tokens").alias("toks_b")),
                       on="doc_b"))
+    if prefilter_jaccard > 0:
+        j0 = (F.size(F.array_intersect("toks_a", "toks_b"))
+              / F.size(F.array_union("toks_a", "toks_b")))
+        enriched = enriched.where(j0 >= prefilter_jaccard)
+    # Levenshtein ratio natively (JVM codegen) — a Python DP over the
+    # ~50-char profiles would dominate the whole ER runtime
+    maxlen = F.greatest(F.length("prof_a"), F.length("prof_b"))
+    enriched = enriched.withColumn(
+        "lr", F.when(maxlen == 0, F.lit(1.0)).otherwise(
+            1.0 - F.levenshtein("prof_a", "prof_b") / maxlen))
+
+    from ..functions.similarity import (
+        ID_CONFLICT_CAP,
+        id_conflict,
+        jaro_winkler,
+        soft_weighted_jaccard,
+    )
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            scores = [
-                pair_score(pa, pb, ta, tb, idf=idf, default_idf=default_idf)
-                for pa, pb, ta, tb in zip(pdf["prof_a"], pdf["prof_b"],
-                                          pdf["toks_a"], pdf["toks_b"])
-            ]
+            scores = []
+            for pa, pb, ta, tb, lr in zip(pdf["prof_a"], pdf["prof_b"],
+                                          pdf["toks_a"], pdf["toks_b"],
+                                          pdf["lr"]):
+                if idf is None:
+                    from ..functions.similarity import token_set_jaccard
+                    jac = token_set_jaccard(ta, tb)
+                else:
+                    jac = soft_weighted_jaccard(ta, tb, idf, default_idf)
+                partial = 0.65 * jac + 0.15 * lr
+                # JW can add at most 0.2 — skip it when the pair cannot
+                # reach the decision region anyway
+                if partial + 0.2 < 0.60:
+                    score = partial
+                else:
+                    score = partial + 0.2 * jaro_winkler(pa, pb)
+                    if score > ID_CONFLICT_CAP and id_conflict(ta, tb):
+                        score = ID_CONFLICT_CAP
+                scores.append(score)
             yield pd.DataFrame({"doc_a": pdf["doc_a"],
                                 "doc_b": pdf["doc_b"],
                                 "score": scores})

@@ -108,7 +108,21 @@ def weighted_jaccard(a, b, idf: dict[str, float], default_idf: float) -> float:
     return inter / union if union else 1.0
 
 
-def _soft_token_sim(t: str, others: set[str], jw_floor: float) -> float:
+def _bucket_alpha(tokens: set[str]) -> dict[str, list[str]]:
+    """First-char buckets of the digit-free tokens — the classic
+    SoftTFIDF pruning (a JW ≥ ~0.88 match virtually requires a shared
+    prefix char, and the Winkler boost rewards exactly that)."""
+    out: dict[str, list[str]] = {}
+    for t in tokens:
+        if any(c.isdigit() for c in t):
+            continue
+        out.setdefault(t[0], []).append(t)
+    return out
+
+
+def _soft_token_sim(t: str, others: set[str],
+                    others_alpha: dict[str, list[str]],
+                    jw_floor: float) -> float:
     """SoftTFIDF-style credit (Cohen/Ravikumar/Fienberg): best JW against
     the other side if ≥ floor, else 0.  Digit-bearing tokens get exact
     credit only — JW between serial-number-ish strings is deceptively
@@ -118,9 +132,7 @@ def _soft_token_sim(t: str, others: set[str], jw_floor: float) -> float:
     if any(c.isdigit() for c in t):
         return 0.0
     best = 0.0
-    for o in others:
-        if any(c.isdigit() for c in o):
-            continue
+    for o in others_alpha.get(t[0], ()):
         if abs(len(o) - len(t)) > 3:
             continue
         s = jaro_winkler(t, o)
@@ -135,8 +147,9 @@ def soft_weighted_jaccard(a, b, idf: dict[str, float], default_idf: float,
     if not sa and not sb:
         return 1.0
     w = lambda t: idf.get(t, default_idf)  # noqa: E731
-    num = sum(w(t) * _soft_token_sim(t, sb, jw_floor) for t in sa) \
-        + sum(w(t) * _soft_token_sim(t, sa, jw_floor) for t in sb)
+    alpha_a, alpha_b = _bucket_alpha(sa), _bucket_alpha(sb)
+    num = sum(w(t) * _soft_token_sim(t, sb, alpha_b, jw_floor) for t in sa) \
+        + sum(w(t) * _soft_token_sim(t, sa, alpha_a, jw_floor) for t in sb)
     den = sum(w(t) for t in sa) + sum(w(t) for t in sb)
     # Fellegi-Sunter-style disagreement penalty: identifiers are
     # machine-copied, so *conflicting* digit-bearing tokens on both

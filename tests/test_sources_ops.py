@@ -1,0 +1,183 @@
+"""Sources (OBO / SPECIALIST / SQLite), ops (checkpoint/resume,
+metrics), multimodal plumbing, classifier."""
+
+import os
+
+from pyspark.sql import functions as F
+
+OBO_SAMPLE = """format-version: 1.2
+
+[Term]
+id: UBERON:0001379
+name: vastus lateralis
+synonym: "vastus lateralis muscle" EXACT []
+is_a: UBERON:0001134 ! skeletal muscle tissue
+
+[Term]
+id: UBERON:0001134
+name: skeletal muscle tissue
+relationship: part_of UBERON:0000383 ! muscle organ
+
+[Term]
+id: UBERON:0000383
+name: muscle organ
+
+[Term]
+id: UBERON:9999999
+name: obsolete thing
+is_obsolete: true
+
+[Typedef]
+id: part_of
+"""
+
+
+def test_obo_parser(spark, tmp_path):
+    from metasra_pipeline_spark.sources.obo import ancestors_closure, load_obo
+    p = tmp_path / "mini.obo"
+    p.write_text(OBO_SAMPLE)
+    tables = load_obo(spark, str(p))
+    terms = {r["term_id"]: r["name"] for r in tables["terms"].collect()}
+    assert terms == {"UBERON:0001379": "vastus lateralis",
+                     "UBERON:0001134": "skeletal muscle tissue",
+                     "UBERON:0000383": "muscle organ"}
+    syns = {(r["term_id"], r["syn_str"], r["syn_type"])
+            for r in tables["synonyms"].collect()}
+    assert ("UBERON:0001379", "vastus lateralis muscle", "EXACT") in syns
+    closure = {(r["term_id"], r["anc_id"])
+               for r in ancestors_closure(tables["edges"]).collect()}
+    # transitive: 1379 -is_a-> 1134 -part_of-> 0383
+    assert ("UBERON:0001379", "UBERON:0001134") in closure
+    assert ("UBERON:0001379", "UBERON:0000383") in closure
+
+
+def test_specialist_lragr(spark, tmp_path):
+    from metasra_pipeline_spark.sources.specialist import load_lragr
+    p = tmp_path / "LRAGR"
+    p.write_text("E1|cells|noun|plural|cell|cell\n"
+                 "E2|ran|verb|past|run|run\n")
+    v = {(r["base"], r["variant"]) for r in load_lragr(spark, str(p)).collect()}
+    assert ("cell", "cells") in v and ("cells", "cell") in v
+    assert ("run", "ran") in v and ("ran", "run") in v
+
+
+def test_sqlite_roundtrip(spark, tmp_path):
+    import sqlite3
+
+    from metasra_pipeline_spark.sources.sqlite_src import (
+        kv_rows_to_documents,
+        read_sample_attributes,
+    )
+    db = tmp_path / "sra.sqlite"
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE sample_attribute "
+                     "(sample_accession TEXT, tag TEXT, value TEXT)")
+        conn.executemany(
+            "INSERT INTO sample_attribute VALUES (?, ?, ?)",
+            [("SRS1", "tissue", "liver"), ("SRS1", "sex", "male"),
+             ("SRS2", "cell line", "HeLa")])
+    kv = read_sample_attributes(spark, str(db))
+    assert kv.count() == 3
+    docs = kv_rows_to_documents(kv)
+    rows = {r["doc_id"]: [s["text"] for s in r["spans"]]
+            for r in docs.collect()}
+    assert rows["SRS2"] == ["cell line: HeLa"]
+    assert set(rows["SRS1"]) == {"tissue: liver", "sex: male"}
+    offsets = {tuple(s["offset"] for s in r["spans"])
+               for r in docs.collect()}
+    assert all(o == tuple(range(len(o))) for o in offsets)
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from metasra_pipeline_spark.ops import checkpointed
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5).withColumn("x", F.col("id") * 2)
+
+    path = str(tmp_path / "ck")
+    a = checkpointed(spark, path, build).collect()
+    b = checkpointed(spark, path, build).collect()  # resume: no recompute
+    assert calls["n"] == 1
+    assert sorted(r["x"] for r in a) == sorted(r["x"] for r in b)
+
+
+def test_partition_metrics(spark):
+    from metasra_pipeline_spark.ops import match_metrics, partition_lineage
+    df = spark.range(100).repartition(4)
+    m = partition_lineage(df, "stage1").collect()
+    assert sum(r["n_rows"] for r in m) == 100
+    assert all(r["stage"] == "stage1" for r in m)
+    matches = spark.createDataFrame(
+        [("d1", "t", 0, 1, "X:1", "TERM_NAME", 0),
+         ("d1", "t", 0, 1, "X:2", "EXACT_SYNONYM", 1)],
+        "doc_id: string, token: string, start: int, end: int, "
+        "target_id: string, match_target: string, edit_dist: int")
+    mm = {(r["match_target"], r["edit_dist"]): r["n"]
+          for r in match_metrics(matches).collect()}
+    assert mm == {("TERM_NAME", 0): 1, ("EXACT_SYNONYM", 1): 1}
+
+
+def test_multimodal_plumbing(spark):
+    from metasra_pipeline_spark.datagen import synth_documents
+    from metasra_pipeline_spark.functions.multimodal import (
+        decode_media,
+        extract_media_spans,
+        frame_sample,
+        media_feature_stub,
+    )
+    docs = synth_documents(spark, 60, seed=42).select("doc_id", "spans")
+    media = extract_media_spans(docs)
+    assert media.count() > 0
+    decoded = decode_media(media).localCheckpoint()
+    rows = decoded.collect()
+    assert all(r["media_kind"] == "image" for r in rows)  # datagen emits .png
+    assert all(len(r["content_sha"]) == 64 for r in rows)
+    # determinism: same ref → same sha
+    again = {(r["doc_id"], r["media_ref"]): r["content_sha"]
+             for r in decode_media(media).collect()}
+    for r in rows:
+        assert again[(r["doc_id"], r["media_ref"])] == r["content_sha"]
+    feats = media_feature_stub(decoded).collect()
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # no videos in datagen → frame_sample empty but schema-stable
+    fs = frame_sample(decoded)
+    assert fs.columns == ["doc_id", "media_ref", "frame_idx"]
+    assert fs.count() == 0
+
+
+def test_classifier_end_to_end(spark):
+    from metasra_pipeline_spark.functions.classifier import (
+        predict_sample_type,
+        train_sample_type_model,
+    )
+    rows = []
+    labels = []
+    for i in range(60):
+        kind = i % 3
+        if kind == 0:
+            rows += [(f"d{i}", "tissue", "liver"), (f"d{i}", "sex", "male")]
+            labels.append((f"d{i}", "tissue"))
+        elif kind == 1:
+            rows += [(f"d{i}", "cell line", "HeLa"),
+                     (f"d{i}", "passage", str(i))]
+            labels.append((f"d{i}", "cell_line"))
+        else:
+            rows += [(f"d{i}", "cell type", "T cell"),
+                     (f"d{i}", "marker", "CD4+")]
+            labels.append((f"d{i}", "primary_cells"))
+    kv = spark.createDataFrame(rows, "doc_id: string, key: string, value: string")
+    lab = spark.createDataFrame(labels, "doc_id: string, sample_type: string")
+    model, ll = train_sample_type_model(kv, lab)
+    pred = predict_sample_type(model, ll, kv)
+    joined = pred.join(lab.withColumnRenamed("sample_type", "truth"),
+                       on="doc_id")
+    acc = joined.where("sample_type = truth").count() / joined.count()
+    assert acc >= 0.95, acc
+    # C5 override: xenograft forces tissue
+    kv2 = spark.createDataFrame(
+        [("x1", "cell line", "HeLa"), ("x1", "note", "xenograft model")],
+        "doc_id: string, key: string, value: string")
+    p2 = predict_sample_type(model, ll, kv2).collect()[0]
+    assert p2["sample_type"] == "tissue" and p2["confidence"] == 1.0
