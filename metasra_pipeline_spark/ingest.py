@@ -14,48 +14,54 @@ BASELINE.json input_hint).  The window running-sum shuffles once on
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 KV_COLS = ["doc_id", "key", "value", "key_start", "key_end",
            "val_start", "val_end"]
 
 
+_KV_AGG = """
+aggregate(
+  transform(
+    filter(spans, s -> s.kind = 'text'),
+    s -> struct(
+      CASE WHEN instr(s.text, ': ') > 0
+           THEN substring(s.text, 1, instr(s.text, ': ') - 1)
+           ELSE s.text END AS key,
+      CASE WHEN instr(s.text, ': ') > 0
+           THEN substring(s.text, instr(s.text, ': ') + 2,
+                          length(s.text))
+           ELSE '' END AS value)),
+  struct(
+    cast(array() as array<struct<key:string, value:string,
+         key_start:int, key_end:int, val_start:int, val_end:int>>) AS acc,
+    0 AS cur),
+  (st, p) -> struct(
+    array_append(st.acc, struct(
+      p.key, p.value,
+      st.cur AS key_start,
+      cast(st.cur + length(p.key) AS int) AS key_end,
+      cast(st.cur + length(p.key) AS int) AS val_start,
+      cast(st.cur + length(p.key) + length(p.value) AS int) AS val_end))
+      AS acc,
+    cast(st.cur + length(p.key) + length(p.value) AS int) AS cur),
+  st -> st.acc)
+"""
+
+
 def documents_to_kv(documents: DataFrame) -> DataFrame:
     """(doc_id, spans) → (doc_id, key, value, key_start, key_end,
-    val_start, val_end)."""
-    sp = (
-        documents
-        .select("doc_id", F.posexplode("spans").alias("pos", "span"))
-        .where(F.col("span.kind") == F.lit("text"))
-        .select(
-            "doc_id", "pos",
-            F.col("span.text").alias("payload"),
-        )
-    )
-    sep_idx = F.instr("payload", ": ")
-    parsed = sp.select(
-        "doc_id", "pos",
-        F.when(sep_idx > 0, F.substring("payload", F.lit(1), sep_idx - 1))
-         .otherwise(F.col("payload")).alias("key"),
-        F.when(sep_idx > 0,
-               F.col("payload").substr(sep_idx + 2, F.length("payload")))
-         .otherwise(F.lit("")).alias("value"),
-    )
-    w = (Window.partitionBy("doc_id").orderBy("pos")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    klen = F.length("key")
-    vlen = F.length("value")
-    return (
-        parsed
-        .withColumn("key_start",
-                    F.coalesce(F.sum(klen + vlen).over(w), F.lit(0))
-                     .cast("int"))
-        .withColumn("key_end", (F.col("key_start") + klen).cast("int"))
-        .withColumn("val_start", F.col("key_end"))
-        .withColumn("val_end", (F.col("val_start") + vlen).cast("int"))
-        .select(*KV_COLS)
-    )
+    val_start, val_end).
+
+    Entirely row-local: the running char cursor is folded inside the
+    spans array with ``aggregate`` (whole-stage codegen), so ingest is
+    zero-shuffle and usable unchanged on streaming DataFrames (window
+    functions are not — streaming/ingest.py relies on this)."""
+    return (documents
+            .select("doc_id", F.explode(F.expr(_KV_AGG)).alias("kv"))
+            .select("doc_id", "kv.key", "kv.value", "kv.key_start",
+                    "kv.key_end", "kv.val_start", "kv.val_end"))
 
 
 def spans_roundtrip(documents: DataFrame) -> DataFrame:

@@ -31,7 +31,11 @@ def get_spark(
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cores}]"
     if shuffle_partitions is None:
-        shuffle_partitions = 32 if cores in ("*",) else max(int(cores) * 2, 8)
+        env_sp = os.environ.get("SPARK_SHUFFLE_PARTITIONS")
+        if env_sp:
+            shuffle_partitions = int(env_sp)
+        else:
+            shuffle_partitions = 32 if cores in ("*",) else max(int(cores) * 2, 8)
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -39,6 +43,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default 64m is right for production-size shuffles; benchmarks on
+        # small in-sandbox data set this lower (env) or AQE coalesces
+        # every shuffle to ~1 partition and serializes execution
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_ADVISORY_PARTITION_BYTES", "64m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -1,0 +1,68 @@
+"""Cluster entry point.
+
+    spark-submit --py-files dist/metasra_pipeline_spark.zip \\
+        spark_submit_main.py --documents <path-or-table> \\
+        --workdir <checkpoint dir> [--refdata <json>] [--er]
+
+Runs the mapping pipeline (and optionally entity resolution) over an
+Iceberg table name or parquet path of span documents, with snapshot
+checkpoints under --workdir, and writes mapped_terms / real_values /
+clusters plus the metrics tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--documents", required=True)
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--refdata", default=None)
+    ap.add_argument("--er", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.builder.appName("metasra-pipeline").getOrCreate()
+
+    from metasra_pipeline_spark import ops
+    from metasra_pipeline_spark.plans.pipeline import run_mapping_pipeline
+    from metasra_pipeline_spark.refdata import load_refdata
+
+    if "/" in args.documents or args.documents.endswith(".parquet"):
+        documents = spark.read.parquet(args.documents)
+    else:
+        documents = spark.read.table(args.documents)
+
+    ref = load_refdata(spark, args.refdata)
+    res = run_mapping_pipeline(spark, documents, ref)
+
+    ops.write_table(res.mapped_terms,
+                    os.path.join(args.workdir, "mapped_terms"))
+    ops.write_table(res.real_values,
+                    os.path.join(args.workdir, "real_values"))
+    ops.write_table(ops.match_metrics(res.matches),
+                    os.path.join(args.workdir, "metrics_matches"))
+    ops.write_table(ops.partition_lineage(res.mapped_terms, "mapped_terms"),
+                    os.path.join(args.workdir, "metrics_lineage"))
+
+    if args.er:
+        from metasra_pipeline_spark.er.resolution import (
+            cluster_terms,
+            resolve_entities,
+        )
+        er = resolve_entities(spark, documents)
+        ops.write_table(er["clusters"], os.path.join(args.workdir, "clusters"))
+        ops.write_table(cluster_terms(er["clusters"], res.mapped_terms),
+                        os.path.join(args.workdir, "cluster_terms"))
+        ops.write_table(er["hot_keys"],
+                        os.path.join(args.workdir, "metrics_hot_keys"))
+
+    ops.write_run_manifest(args.workdir, {
+        "documents": args.documents, "er": args.er})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Dedup + similarity-search operator unit tests (hand-built frames)."""
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    return spark.createDataFrame([
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "the quick brown fox jumps over the lazy dog"),   # exact dup
+        ("c", "the quick brown fox jumped over the lazy dog"),  # near dup
+        ("d", "completely different content about spark engines"),
+    ], "doc_id: string, text: string")
+
+
+def test_exact_dedup(spark):
+    from metasra_pipeline_spark.functions.dedup import exact_dedup
+    out = {r["canonical_id"]: r["n_copies"]
+           for r in exact_dedup(_docs(spark)).collect()}
+    assert out["a"] == 2          # a+b collapse
+    assert out["c"] == 1 and out["d"] == 1
+
+
+def test_minhash_lsh_finds_exact_dup(spark):
+    from metasra_pipeline_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    sig = minhash_signatures(_docs(spark), k=8)
+    assert sig.groupBy("doc_id").count().collect()[0]["count"] == 8
+    pairs = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(sig, band_size=4).collect()}
+    assert ("a", "b") in pairs            # identical docs share all bands
+    assert ("a", "d") not in pairs
+
+
+def test_jaccard_pairs_near_dup(spark):
+    from metasra_pipeline_spark.functions.dedup import jaccard_pairs
+    out = {(r["id_a"], r["id_b"]): r["jac"]
+           for r in jaccard_pairs(_docs(spark), threshold=0.5,
+                                  min_token_len=4, max_df=10).collect()}
+    assert out[("a", "b")] == 1.0
+    assert 0.5 <= out[("a", "c")] < 1.0   # jumps vs jumped
+    assert ("a", "d") not in out
+
+
+def test_simhash_near_dup_close(spark):
+    from metasra_pipeline_spark.functions.dedup import simhash
+    h = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    assert h["a"] == h["b"]
+    ham_ac = bin(h["a"] ^ h["c"]).count("1")
+    ham_ad = bin(h["a"] ^ h["d"]).count("1")
+    assert ham_ac < ham_ad
+
+
+def test_fingerprint_dup_stable(spark):
+    from metasra_pipeline_spark.functions.dedup import doc_fingerprint
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in doc_fingerprint(_docs(spark)).collect()}
+    assert fp["a"] == fp["b"]
+    assert fp["a"] != fp["d"]
+
+
+def test_cosine_topk_and_ivf(spark):
+    from metasra_pipeline_spark.functions.simsearch import (
+        cosine_topk,
+        ivf_topk,
+    )
+    emb = spark.createDataFrame([
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [-1.0, 0.0, 0.0], 0),
+    ], "vec_id: int, embedding: array<float>, label: int")
+    top = cosine_topk(emb, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert top[0]["cosine"] == 1.0
+    ivf = ivf_topk(emb, [1.0, 0.0, 0.0], query_label=0, k=3).collect()
+    assert [r["vec_id"] for r in ivf] == [1, 2, 4]   # label-pruned
+
+
+def test_textstats(spark):
+    from metasra_pipeline_spark.functions.textstats import (
+        lang_id,
+        quality_scores,
+        token_counts,
+    )
+    df = spark.createDataFrame(
+        [("x", "the cat and the dog in the house"),
+         ("y", "der hund und die katze ist da"),
+         ("z", "zzz qqq")],
+        "doc_id: string, text: string")
+    tc = {r["doc_id"]: r for r in token_counts(df).collect()}
+    assert tc["x"]["n_ws_tokens"] == 8
+    q = {r["doc_id"]: r for r in quality_scores(df).collect()}
+    assert 0 < q["x"]["quality"] <= 1
+    assert q["x"]["stopword_ratio"] > q["z"]["stopword_ratio"]
+    langs = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert langs["x"] == "en" and langs["y"] == "de"
+    assert langs["z"] == "unknown"
