@@ -149,12 +149,23 @@ def _q10_exact_lexicon(spark, sf):
 
 
 def _q11_fuzzy_match(spark, sf):
+    """Fuzzy match via the engine's real blocked-similarity-join
+    mechanism (operators/stages.py:fuzzy_match): SymSpell-style deletion
+    neighborhood keys → equi-join → levenshtein recheck.  Recall-exact
+    for edit distance ≤ 1 (shared 1-deletion key), so the result equals
+    the reference crossJoin formulation the oracle uses — without the
+    all-pairs product that breaks at scale."""
     from pyspark.sql import Window
+
+    from metasra_pipeline_spark.operators.stages import _deletion_keys_expr
     docs = _t(spark, sf, "documents")
-    lex = spark.createDataFrame([(t,) for t in _FUZZY_LEX], "term: string")
+    lex = (spark.createDataFrame([(t,) for t in _FUZZY_LEX], "term: string")
+           .withColumn("lkey", F.explode(_deletion_keys_expr("term"))))
     toks = (D.tokens(docs.select("doc_id", "text")).select("tok").distinct()
-            .where(F.length("tok").between(3, 12)))
-    cand = (toks.crossJoin(F.broadcast(lex))
+            .where(F.length("tok").between(3, 12))
+            .withColumn("qkey", F.explode(_deletion_keys_expr("tok"))))
+    cand = (toks.join(F.broadcast(lex), toks.qkey == lex.lkey)
+            .select("tok", "term").distinct()
             .withColumn("dist", F.levenshtein("tok", "term"))
             .where(F.col("dist") <= 1))
     w = Window.partitionBy("tok")
@@ -511,10 +522,13 @@ def oracle_sql() -> dict[str, str]:
                               md5(array_to_string(list_sort(
                                 list(concat(h_idx, ':', minhash))), ','))
                                 AS bucket
-                       FROM sig GROUP BY doc_id, h_idx // 4)
+                       FROM sig GROUP BY doc_id, h_idx // 4),
+            ok AS (SELECT band, bucket FROM banded
+                   GROUP BY band, bucket HAVING count(*) <= 1000)
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.bucket = b.bucket
+            JOIN ok ON a.band = ok.band AND a.bucket = ok.bucket
             WHERE a.doc_id < b.doc_id""",
         "q16_simhash": f"""
             WITH {_TOKS_CTE},

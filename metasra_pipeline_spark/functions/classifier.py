@@ -86,51 +86,142 @@ def train_sample_type_model(kv: DataFrame, labels: DataFrame,
     return lr.fit(train), label_list
 
 
+# Cellosaurus subset → allowed sample types
+# (one_vs_rest_classifier_same_features.py:140-170)
+CVCL_SUBSET_TYPES = {
+    "Induced_pluripotent_stem_cell": ["in_vitro_differentiated_cells",
+                                      "induced_pluripotent_stem_cells"],
+    "Cancer_cell_line": ["cell_line"],
+    "Transformed_cell_line": ["cell_line"],
+    "Finite_cell_line": ["cell_line"],
+    "Spontaneously_cell_line": ["cell_line"],
+    "Embryonic_stem_cell": ["stem_cells", "in_vitro_differentiated_cells"],
+    "Telomerase_cell_line": ["cell_line"],
+    "Conditionally_cell_line": ["cell_line"],
+    "Hybridoma": ["cell_line"],
+}
+
+
+def _rule_flags(kv: DataFrame, mapped_terms: DataFrame | None,
+                real_values: DataFrame | None,
+                cvcl_subsets: DataFrame | None) -> DataFrame:
+    """Per-doc boolean rule inputs (C5,
+    one_vs_rest_classifier_same_features.py:185-254): xenograft term,
+    passage-number real value, Cellosaurus-subset allowed types, and the
+    stem-cell / specific-cell-type / primary-culture term flags."""
+    docs = kv.select("doc_id").distinct()
+
+    def flag(df, name):
+        return df.select("doc_id").distinct().withColumn(name, F.lit(True))
+
+    mt = mapped_terms if mapped_terms is not None else \
+        docs.limit(0).withColumn("term_id", F.lit(""))
+    out = (docs
+           .join(flag(mt.where(F.col("term_id") == "EFO:0003942"),
+                      "is_xeno"), "doc_id", "left")
+           .join(flag(mt.where(F.col("term_id") == "CL:0000034"),
+                      "has_stem"), "doc_id", "left")
+           .join(flag(mt.where(F.col("term_id") == "CL:0002371"),
+                      "has_celltype"), "doc_id", "left")
+           .join(flag(mt.where(F.col("term_id") == "CL:0000001"),
+                      "has_primary"), "doc_id", "left"))
+    if real_values is not None:
+        passaged = real_values.where(
+            (F.col("property_id") == "EFO:0007061")
+            & (F.col("unit_id") == "UO:0000189"))
+        out = (out
+               .join(flag(passaged, "is_passaged"), "doc_id", "left")
+               .join(flag(passaged.where(F.col("value") > 0),
+                          "passaged_pos"), "doc_id", "left"))
+    else:
+        out = (out.withColumn("is_passaged", F.lit(None).cast("boolean"))
+               .withColumn("passaged_pos", F.lit(None).cast("boolean")))
+    # Cellosaurus subset masks: for each mapped CVCL term's known subset,
+    # types outside the subset's allowed list are zeroed (cumulative over
+    # all subsets ≡ per-type max of "not allowed")
+    if cvcl_subsets is not None and mapped_terms is not None:
+        sub_rows = (mapped_terms
+                    .join(F.broadcast(cvcl_subsets),
+                          mapped_terms.term_id == cvcl_subsets.cvcl_id)
+                    .where(F.col("subset").isin(*CVCL_SUBSET_TYPES))
+                    .select("doc_id", "subset"))
+        aggs = [F.lit(True).alias("found_clt")]
+        for typ in SAMPLE_TYPES:
+            aggs.append(F.max(
+                ~F.col("subset").isin(*[s for s, ok in
+                                        CVCL_SUBSET_TYPES.items()
+                                        if typ in ok]) if any(
+                    typ in ok for ok in CVCL_SUBSET_TYPES.values())
+                else F.lit(True)).alias(f"cvclzero_{typ}"))
+        sub_flags = sub_rows.groupBy("doc_id").agg(*aggs)
+        out = out.join(sub_flags, "doc_id", "left")
+    else:
+        out = out.withColumn("found_clt", F.lit(None).cast("boolean"))
+        for typ in SAMPLE_TYPES:
+            out = out.withColumn(f"cvclzero_{typ}",
+                                 F.lit(None).cast("boolean"))
+    fill = {c: False for c in
+            ["is_xeno", "has_stem", "has_celltype", "has_primary",
+             "is_passaged", "passaged_pos", "found_clt"]
+            + [f"cvclzero_{t}" for t in SAMPLE_TYPES]}
+    return out.fillna(fill)
+
+
 def predict_sample_type(model, label_list: list[str], kv: DataFrame,
                         mapped_terms: DataFrame | None = None,
                         real_values: DataFrame | None = None,
+                        cvcl_subsets: DataFrame | None = None,
                         n_features: int = 4096) -> DataFrame:
-    """→ (doc_id, sample_type, confidence) with C5 rule overrides."""
+    """→ (doc_id, sample_type, confidence).
+
+    C5/C6 exactly as the reference applies them
+    (one_vs_rest_classifier_same_features.py:185-272): the rules ZERO
+    per-class confidences (they never hard-assign a class), then the
+    surviving vector is renormalized and argmaxed.  All masks are native
+    column expressions over the probability array."""
     from pyspark.ml.functions import vector_to_array
     feats = _assemble(doc_feature_text(kv), mapped_terms, n_features)
     pred = (model.transform(feats)
-            .select("doc_id",
-                    vector_to_array("probability").alias("probs")))
+            .select("doc_id", vector_to_array("probability").alias("probs")))
+    pred = pred.join(_rule_flags(kv, mapped_terms, real_values,
+                                 cvcl_subsets), on="doc_id", how="left")
+
+    xeno = F.col("is_xeno")
+    no_clt = ~xeno & ~F.col("found_clt")
+    masks = []
+    for i, typ in enumerate(label_list):
+        zero = F.lit(False)
+        if typ != "tissue":
+            zero = zero | xeno                               # :190-196
+        if typ == "tissue":
+            zero = zero | (~xeno & F.col("is_passaged"))     # :198-207
+        if typ == "primary_cells":
+            zero = zero | (~xeno & F.col("passaged_pos"))
+        if typ in SAMPLE_TYPES:
+            zero = zero | (~xeno & F.col(f"cvclzero_{typ}")
+                           & F.col("found_clt"))             # :209-226
+        if typ in ("cell_line", "tissue", "primary_cells"):
+            zero = zero | (no_clt & F.col("has_stem"))       # :231-237
+        if typ == "tissue":
+            zero = zero | (no_clt & ~F.col("has_stem")
+                           & F.col("has_celltype"))          # :238-244
+        if typ in ("tissue", "cell_line", "induced_pluripotent_stem_cells",
+                   "in_vitro_differentiated_cells"):
+            zero = zero | (no_clt & F.col("has_primary")
+                           & ~F.col("is_passaged"))          # :246-254
+        masks.append(F.when(zero, F.lit(0.0))
+                     .otherwise(F.element_at("probs", i + 1)))
+    masked = F.array(*masks)
+    total = F.aggregate(masked, F.lit(0.0), lambda a, x: a + x)
+    normed = F.when(total > 0,
+                    F.transform(masked, lambda x: x / total)
+                    ).otherwise(masked)                      # :257-264
     labels_arr = F.array(*[F.lit(x) for x in label_list])
-    out = pred.select(
-        "doc_id",
-        F.element_at(labels_arr,
-                     (F.expr("array_position(probs, array_max(probs))"))
-                     .cast("int")).alias("ml_type"),
-        F.round(F.array_max("probs"), 4).alias("confidence"))
-
-    # --- C5 domain-rule overrides (one_vs_rest_...py:185-254 analogues) ---
-    ft = doc_feature_text(kv)
-    has_xeno = ft.select(
-        "doc_id", F.col("ftext").contains("xenograft").alias("is_xeno"))
-    out = out.join(has_xeno, on="doc_id", how="left")
-    if mapped_terms is not None:
-        cvcl = (mapped_terms
-                .where(F.split("term_id", ":").getItem(0) == "CVCL")
-                .select("doc_id").distinct()
-                .withColumn("has_cvcl", F.lit(True)))
-        ipsc = (mapped_terms.where(F.col("term_id") == "EFO:0004905")
-                .select("doc_id").distinct()
-                .withColumn("has_ipsc", F.lit(True)))
-        out = (out.join(cvcl, on="doc_id", how="left")
-               .join(ipsc, on="doc_id", how="left"))
-    else:
-        out = (out.withColumn("has_cvcl", F.lit(None).cast("boolean"))
-               .withColumn("has_ipsc", F.lit(None).cast("boolean")))
-
-    sample_type = (
-        F.when(F.col("is_xeno"), F.lit("tissue"))
-        .when(F.col("has_ipsc"),
-              F.lit("induced_pluripotent_stem_cells"))
-        .when(F.col("has_cvcl"), F.lit("cell_line"))
-        .otherwise(F.col("ml_type")))
-    confidence = (F.when(F.col("is_xeno") | F.col("has_ipsc").isNotNull()
-                         | F.col("has_cvcl").isNotNull(), F.lit(1.0))
-                  .otherwise(F.col("confidence")))
-    return out.select("doc_id", sample_type.alias("sample_type"),
-                      confidence.alias("confidence"))
+    out = (pred.withColumn("normed", normed)
+           .select("doc_id",
+                   F.element_at(
+                       labels_arr,
+                       F.expr("array_position(normed, array_max(normed))")
+                       .cast("int")).alias("sample_type"),
+                   F.round(F.array_max("normed"), 4).alias("confidence")))
+    return out

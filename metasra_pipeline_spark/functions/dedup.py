@@ -60,15 +60,30 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        band_size: int = 4) -> DataFrame:
+                        band_size: int = 4,
+                        max_bucket: int | None = 1000) -> DataFrame:
     """MinHash-LSH: band the signature, bucket-join → candidate pairs
-    (id_a < id_b).  Docs agreeing on all hashes of any band collide."""
+    (id_a < id_b).  Docs agreeing on all hashes of any band collide.
+
+    ``max_bucket`` caps the self-join blowup on duplicate-heavy corpora:
+    a bucket of n docs emits O(n²) pairs, so one bucket holding 1M exact
+    dups would emit 10¹² rows.  Buckets larger than the cap are dropped
+    (the same explicit hot-key handling as ``jaccard_pairs``' max_df and
+    er.blocking_keys' max_block); members of an oversized bucket are by
+    construction near-identical, so run ``exact_dedup`` first to collapse
+    them if such buckets carry signal."""
     banded = (signatures
               .withColumn("band", (F.col("h_idx") / band_size).cast("int"))
               .groupBy(id_col, "band")
               .agg(F.md5(F.concat_ws(",", F.array_sort(
                   F.collect_list(F.concat_ws(":", "h_idx", "minhash"))
               ))).alias("bucket")))
+    if max_bucket is not None:
+        w_cnt = (banded.groupBy("band", "bucket")
+                 .agg(F.count("*").alias("_n"))
+                 .where(F.col("_n") <= max_bucket)
+                 .select("band", "bucket"))
+        banded = banded.join(w_cnt, on=["band", "bucket"], how="left_semi")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (a.join(b, on=["band", "bucket"])

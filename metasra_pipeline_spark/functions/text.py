@@ -219,13 +219,102 @@ def expand_token_closure(initial: str, syn_sets: list[list[str]],
     intervals relative to the initial token's start.  Each stage sees the
     union of everything produced before it, exactly like the reference's
     monotonically growing token_nodes set."""
+    nodes = {(initial, 0, len(initial))}
+    for p, ps, pe, c, cs, ce, _k in expand_token_closure_edges(
+            initial, syn_sets, member_to_set, acronyms, inflections,
+            spellings):
+        nodes.add((c, cs, ce))
+    return sorted(nodes)
+
+
+# DerivesInto labels, matching the reference exactly — P3 excludes the
+# first two when computing superphrase reachability
+# (pipeline_components.py:1051); acronym expansion is an *Inference*
+# edge in the reference (:1143), so it is never excluded.
+EDGE_NGRAM = "N-Gram"
+EDGE_DELIMITER = "Delimiter"
+EDGE_LOWERCASE = "Lowercase"
+EDGE_INFLECTION = "Inflectional variant"
+EDGE_SPELLING = "Spelling variant"
+EDGE_SYNONYM = "Synonym"
+EDGE_ACRONYM = "Acronym to expansion"
+EDGE_PROP_SYN = "Property-specific synonym"
+EDGE_TIME_PARSE = "Parse time and unit"
+EDGE_UNIT_SYN = "Parse as unit synonym"
+
+
+def expand_token_closure_edges(initial: str, syn_sets: list[list[str]],
+                               member_to_set: dict[str, list[int]],
+                               acronyms: dict[str, list[str]],
+                               inflections: dict[str, list[str]],
+                               spellings: dict[str, list[str]],
+                               ) -> list[tuple]:
+    """The T1–T8 expansion closure *with derivation edges*:
+    (ptok, ps, pe, ctok, cs, ce, kind) per derivation, intervals relative
+    to the initial token's start.  Node identity is (string, start, end)
+    — the reference's idempotent TokenNode insertion — so a child created
+    by several parents carries one edge per parent.  The edge graph feeds
+    exact P3 subphrase suppression and per-term mapping_path provenance."""
     toks: set[tuple[str, int, int]] = {(initial, 0, len(initial))}
-    toks |= _expand_ngrams(toks)
-    toks |= _expand_lower(toks)
+    edges: set[tuple] = set()
+
+    def apply(stage_edges):
+        new_nodes = set()
+        for e in stage_edges:
+            edges.add(e)
+            child = (e[3], e[4], e[5])
+            if child not in toks:
+                new_nodes.add(child)
+        toks.update(new_nodes)
+
+    def ngram_edges(snapshot):
+        for t, s, e in snapshot:
+            for g, a, b in ngrams_with_intervals(t):
+                yield (t, s, e, g, s + a, s + b, EDGE_NGRAM)
+
+    def lower_edges(snapshot):
+        for t, s, e in snapshot:
+            low = t.lower()
+            if low != t:
+                yield (t, s, e, low, s, e, EDGE_LOWERCASE)
+
+    def delimit_edges(snapshot, delimiter):
+        dlen = len(delimiter)
+        for t, s, e in snapshot:
+            parts = t.split(delimiter)
+            if len(parts) == 1:
+                continue
+            cur = s
+            for p in parts:
+                yield (t, s, e, p, cur, cur + len(p), EDGE_DELIMITER)
+                cur += len(p) + dlen
+
+    def variant_edges(snapshot, variant_map, kind):
+        for t, s, e in snapshot:
+            last = last_alnum_unigram(t)
+            if not last:
+                continue
+            for var in variant_map.get(last, ()):
+                yield (t, s, e, t[: len(t) - len(last)] + var, s, e, kind)
+
+    def synonym_edges(snapshot):
+        for t, s, e in snapshot:
+            for set_id in member_to_set.get(t, ()):
+                for syn in syn_sets[set_id]:
+                    if syn != t:
+                        yield (t, s, e, syn, s, e, EDGE_SYNONYM)
+
+    def acronym_edges(snapshot):
+        for t, s, e in snapshot:
+            for expansion in acronyms.get(t, ()):
+                yield (t, s, e, expansion, s, e, EDGE_ACRONYM)
+
+    apply(list(ngram_edges(set(toks))))
+    apply(list(lower_edges(set(toks))))
     for d in ("+", "_", "-", "/"):
-        toks |= _expand_delimit(toks, d)
-    toks |= _expand_variants(toks, inflections)
-    toks |= _expand_variants(toks, spellings)
-    toks |= _expand_synonyms(toks, member_to_set, syn_sets)
-    toks |= _expand_acronyms(toks, acronyms)
-    return sorted(toks)
+        apply(list(delimit_edges(set(toks), d)))
+    apply(list(variant_edges(set(toks), inflections, EDGE_INFLECTION)))
+    apply(list(variant_edges(set(toks), spellings, EDGE_SPELLING)))
+    apply(list(synonym_edges(set(toks))))
+    apply(list(acronym_edges(set(toks))))
+    return sorted(edges)

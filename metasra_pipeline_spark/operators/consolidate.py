@@ -27,46 +27,69 @@ from ..refdata import RefData
 from .inference import INF_COLS
 from .stages import CONSEQUENT_ITYPES
 
-#: static unroll depth for the inference closure; chains are bounded by
-#: the number of inference stages in p_53 (≤ 6 hops)
+#: inference chains are bounded by the number of inference stages in
+#: p_53 (≤ 6 hops); the path-squaring closure below covers depth 6
 _CLOSURE_DEPTH = 6
 
 
-def reachable_terms(final_matches: DataFrame, inf_edges: DataFrame) -> DataFrame:
+def _compose(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Path composition: a(doc, src→dst) then b(doc, src→dst)."""
+    return (a.join(b.select("doc_id", F.col("src_id").alias("dst_id"),
+                            F.col("dst_id").alias("dst2")),
+                   on=["doc_id", "dst_id"])
+            .select("doc_id", "src_id", F.col("dst2").alias("dst_id")))
+
+
+def _closure(term_edges: DataFrame, snap) -> DataFrame:
+    """Transitive closure of the term→term inference edges by path
+    squaring: C₂ = E ∪ E∘E, C₄ = C₂ ∪ C₂∘C₂, C₆ = C₄ ∪ C₄∘C₂ — depth 6
+    in two driver-synchronized cuts and zero count() jobs, replacing
+    the round-1 per-hop checkpoint+count loop (12 jobs) that dominated
+    the pipeline's fixed overhead.  Edge sets are per-doc and tiny
+    relative to the reach set, so squaring joins stay cheap at scale."""
+    c2 = term_edges.unionByName(_compose(term_edges, term_edges)).distinct()
+    c2 = snap.cut(c2, "closure2")
+    c4 = c2.unionByName(_compose(c2, c2)).distinct()
+    c4 = snap.cut(c4, "closure4")
+    return c4.unionByName(_compose(c4, c2)).distinct()
+
+
+def reachable_terms(final_matches: DataFrame, inf_edges: DataFrame,
+                    snap=None) -> DataFrame:
     """(doc_id, term_id) reachable from a kv pair.  Seed = surviving match
-    targets; closure over inference edges (RV:* sources always live)."""
-    seed = (final_matches
-            .where(~F.col("target_id").startswith("NP:"))
-            .select("doc_id", F.col("target_id").alias("term_id"))
-            .distinct())
-    rv_seeded = (inf_edges.where(F.col("src_id").startswith("RV:"))
-                 .select("doc_id", F.col("dst_id").alias("term_id"))
-                 .distinct())
-    reach = seed.unionByName(rv_seeded).distinct()
-    term_edges = inf_edges.where(~F.col("src_id").startswith("RV:"))
-    for i in range(_CLOSURE_DEPTH):
-        # materialize per round: reach appears twice per iteration, so an
-        # unmaterialized loop doubles the plan every hop (2^depth blowup)
-        reach = reach.localCheckpoint(eager=True)
-        hop = (reach.join(term_edges.select("doc_id",
-                                            F.col("src_id").alias("term_id"),
-                                            "dst_id"),
-                          on=["doc_id", "term_id"])
-               .select("doc_id", F.col("dst_id").alias("term_id")))
-        new_reach = reach.unionByName(hop).distinct()
-        if i >= 2 and new_reach.count() == reach.count():
-            reach = new_reach
-            break
-        reach = new_reach
-    return reach
+    targets; closure over inference edges (RV:* sources always live).
+
+    The closure is computed on the *edge set* (path squaring, depth ≤ 6 =
+    the p_53 inference-stage bound) rather than by iterating the reach
+    set — no convergence count() jobs, two lineage cuts total."""
+    if snap is None:
+        from ..ops import LocalSnapshotter
+        snap = LocalSnapshotter()
+    seeds = (final_matches
+             .where(~F.col("target_id").startswith("NP:"))
+             .select("doc_id", F.col("target_id").alias("term_id"))
+             .unionByName(
+                 inf_edges.where(F.col("src_id").startswith("RV:"))
+                 .select("doc_id", F.col("dst_id").alias("term_id")))
+             .distinct())
+    term_edges = (inf_edges.where(~F.col("src_id").startswith("RV:"))
+                  .select("doc_id", "src_id", "dst_id").distinct())
+    closure = _closure(term_edges, snap)
+    via = (seeds.join(closure.select("doc_id",
+                                     F.col("src_id").alias("term_id"),
+                                     "dst_id"),
+                      on=["doc_id", "term_id"])
+           .select("doc_id", F.col("dst_id").alias("term_id")))
+    return seeds.unionByName(via).distinct()
 
 
 def consolidate(final_matches: DataFrame, inf_edges: DataFrame,
                 real_values: DataFrame, ref: RefData,
                 exclude_real_value_properties: bool = True,
-                with_ancestors: bool = False) -> DataFrame:
+                with_ancestors: bool = False,
+                snap=None) -> DataFrame:
     """→ mapped_terms(doc_id, term_id, consequent: boolean)."""
-    reach = reachable_terms(final_matches, inf_edges)
+    reach = reachable_terms(final_matches, inf_edges, snap=snap)
 
     explicit_match = (final_matches
                       .where(~F.col("target_id").startswith("NP:"))

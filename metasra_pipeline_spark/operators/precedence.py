@@ -7,6 +7,7 @@ row filtering; node deletion (P4) removes every row for the (doc, term).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -47,69 +48,162 @@ def filter_matches_by_priority(matches: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------- P3
-def remove_subinterval_matches(matches: DataFrame,
-                               inf_edges: DataFrame) -> DataFrame:
-    """RemoveSubIntervalOfMatchedBlockAncestralLink_Stage
+_P3_EXCLUDED_KINDS = frozenset({"N-Gram", "Delimiter"})
+
+_M_SCHEMA = ("doc_id string, token string, start int, `end` int, "
+             "target_id string, match_target string, edit_dist int")
+
+
+def _p3_run_doc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """The reference algorithm (pipeline_components.py:1012-1085) on one
+    document's real text-mining graph.  Graph mutation is sequential per
+    doc; the reference's iteration order over mapped token nodes is py2
+    set/dict order (run-dependent) — we canonicalize to sorted order."""
+    from collections import defaultdict
+
+    fwd: dict = defaultdict(list)          # node -> [(child, kind)]
+    match_rows = []                         # (tok_node, target_node, mt, ed)
+    roots = set()
+    for rel, s1, s2, s3, i1, i2, i3, i4 in zip(
+            pdf["rel"], pdf["s1"], pdf["s2"], pdf["s3"],
+            pdf["i1"], pdf["i2"], pdf["i3"], pdf["i4"]):
+        if rel == "d":
+            p = ("T", s1, int(i1), int(i2))
+            c = ("T", s2, int(i3), int(i4))
+            fwd[p].append((c, s3))
+        elif rel == "m":
+            t = ("T", s1, int(i1), int(i2))
+            o = ("O", s2)
+            fwd[t].append((o, "match"))
+            match_rows.append((t, o, s3, int(i3)))
+        elif rel == "i":
+            fwd[("O", s1)].append((("O", s2), "inf"))
+        elif rel == "r":
+            roots.add(("T", s1, int(i1), int(i2)))
+
+    deleted: set = set()                    # (parent, child, kind)
+
+    def downstream(node, exclude=None):
+        seen = {node}
+        stack = [node]
+        while stack:
+            cur = stack.pop()
+            for child, kind in fwd.get(cur, ()):
+                if exclude and kind in exclude:
+                    continue
+                if (cur, child, kind) in deleted:
+                    continue
+                if child not in seen:
+                    seen.add(child)
+                    stack.append(child)
+        return seen
+
+    def is_superphrase(sup, sub):
+        # strict sub-interval, 3 cases (pipeline_components.py:1014-1026)
+        return ((sub[2] == sup[2] and sub[3] < sup[3])
+                or (sub[2] > sup[2] and sub[3] == sup[3])
+                or (sub[2] > sup[2] and sub[3] < sup[3]))
+
+    mapped_t_nodes = sorted({t for t, _o, _mt, _ed in match_rows})
+    for t in mapped_t_nodes:
+        supers = [s for s in mapped_t_nodes if is_superphrase(s, t)]
+        if not supers:
+            continue
+        reach_excl = {s: downstream(s, exclude=_P3_EXCLUDED_KINDS)
+                      for s in supers}
+        mapped_from_t = {c for c, kind in fwd.get(t, ())
+                         if kind == "match" and (t, c, kind) not in deleted}
+        keep = {m for m in mapped_from_t
+                if all(m in reach_excl[s] for s in supers)}
+        for child, kind in fwd.get(t, ()):
+            if (t, child, kind) in deleted:
+                continue
+            if not (downstream(child) & keep):
+                deleted.add((t, child, kind))
+
+    # match rows survive iff their edge survived AND their source token is
+    # still derivable from a kv root through surviving derivation edges
+    # (the reference leaves severed subtrees in the graph; its extraction
+    # later walks from the kv nodes, so unreachable ≡ deleted here)
+    live = set(roots)
+    stack = list(roots)
+    while stack:
+        cur = stack.pop()
+        for child, kind in fwd.get(cur, ()):
+            if (cur, child, kind) in deleted or child[0] != "T":
+                continue
+            if child not in live:
+                live.add(child)
+                stack.append(child)
+
+    doc = pdf["doc_id"].iloc[0]
+    out = [(doc, t[1], t[2], t[3], o[1], mt, ed)
+           for t, o, mt, ed in match_rows
+           if (t, o, "match") not in deleted and t in live]
+    return pd.DataFrame(out, columns=["doc_id", "token", "start", "end",
+                                      "target_id", "match_target",
+                                      "edit_dist"])
+
+
+def remove_subinterval_matches(matches: DataFrame, deriv_edges: DataFrame,
+                               inf_edges: DataFrame,
+                               roots: DataFrame) -> DataFrame:
+    """RemoveSubIntervalOfMatchedBlockAncestralLink_Stage — exact
     (pipeline_components.py:1012-1085).
 
     A matched token whose interval is a strict sub-interval of another
-    matched token's interval loses its matches — except targets that are
-    also reachable from *every* covering matched superphrase through
-    non-N-Gram/Delimiter derivations.  Flattened: derivations that are not
-    N-Gram/Delimiter preserve the char interval, so "reachable from
-    superphrase S" ≡ target matched from any token sharing S's interval,
-    extended by the inference edges existing at this stage (linked terms,
-    implied disease).  Known approximation: the reference also severs the
-    sub-token's outgoing derivation edges; we prune match rows only.
-    """
-    cls = (matches.select("doc_id", "start", "end").distinct())
-    # class-level target sets, extended by current inference closure
-    cls_targets = (matches.select("doc_id", "start", "end", "target_id")
-                   .distinct())
-    ext = cls_targets
-    for _ in range(2):  # closure depth 2 covers linked_super → implied chains
-        hop = (ext.join(inf_edges.select("doc_id",
-                                         F.col("src_id").alias("target_id"),
-                                         "dst_id"),
-                        on=["doc_id", "target_id"])
-               .select("doc_id", "start", "end",
-                       F.col("dst_id").alias("target_id")))
-        ext = ext.unionByName(hop).distinct()
+    matched token's interval has each of its out-edges severed unless the
+    edge leads to a target reachable from *every* covering matched
+    superphrase node through non-N-Gram/non-Delimiter derivations
+    (:1051-1068); severing derivation edges kills the sub-token's whole
+    derived subtree for later extraction.
 
+    Spark plan: a native containment self-join finds the affected docs
+    (whole-stage codegen, no Python); only those docs ship their token
+    graph into a per-doc ``applyInPandas`` that runs the literal
+    reference algorithm — bounded per-doc graphs, doc-partitioned, no
+    cross-doc state, so the stage scales with executors.  Unaffected
+    docs pass through untouched.
+    """
+    cls = matches.select("doc_id", "start", "end").distinct()
     a, b = cls.alias("a"), cls.alias("b")
-    containment = (a.join(b, on="doc_id")
-                   .where((F.col("a.start") >= F.col("b.start"))
-                          & (F.col("a.end") <= F.col("b.end"))
-                          & ~((F.col("a.start") == F.col("b.start"))
-                              & (F.col("a.end") == F.col("b.end"))))
-                   .select("doc_id",
-                           F.col("a.start").alias("start"),
-                           F.col("a.end").alias("end"),
-                           F.col("b.start").alias("sup_start"),
-                           F.col("b.end").alias("sup_end")))
-    n_sup = (containment.groupBy("doc_id", "start", "end")
-             .agg(F.countDistinct("sup_start", "sup_end").alias("n_sup")))
-    # target kept iff present in ext() of every covering superphrase class
-    kept = (containment
-            .join(ext.select("doc_id",
-                             F.col("start").alias("sup_start"),
-                             F.col("end").alias("sup_end"),
-                             "target_id"),
-                  on=["doc_id", "sup_start", "sup_end"])
-            .groupBy("doc_id", "start", "end", "target_id")
-            .agg(F.countDistinct("sup_start", "sup_end").alias("n_cover"))
-            .join(n_sup, on=["doc_id", "start", "end"])
-            .where(F.col("n_cover") == F.col("n_sup"))
-            .select("doc_id", "start", "end", "target_id",
-                    F.lit(True).alias("_keep")))
-    sub_cls = n_sup.select("doc_id", "start", "end",
-                           F.lit(True).alias("_is_sub"))
-    out = (matches
-           .join(sub_cls, on=["doc_id", "start", "end"], how="left")
-           .join(kept, on=["doc_id", "start", "end", "target_id"], how="left")
-           .where(F.col("_is_sub").isNull() | F.col("_keep").isNotNull())
-           .drop("_is_sub", "_keep"))
-    return out
+    sub_docs = (a.join(b, on="doc_id")
+                .where((F.col("a.start") >= F.col("b.start"))
+                       & (F.col("a.end") <= F.col("b.end"))
+                       & ~((F.col("a.start") == F.col("b.start"))
+                           & (F.col("a.end") == F.col("b.end"))))
+                .select("doc_id").distinct())
+
+    passthrough = matches.join(sub_docs, on="doc_id", how="left_anti")
+    nul_s = F.lit(None).cast("string")
+    nul_i = F.lit(None).cast("int")
+    g_m = (matches.join(sub_docs, on="doc_id", how="left_semi")
+           .select("doc_id", F.lit("m").alias("rel"),
+                   F.col("token").alias("s1"),
+                   F.col("target_id").alias("s2"),
+                   F.col("match_target").alias("s3"),
+                   F.col("start").alias("i1"), F.col("end").alias("i2"),
+                   F.col("edit_dist").alias("i3"), nul_i.alias("i4")))
+    g_d = (deriv_edges.join(sub_docs, on="doc_id", how="left_semi")
+           .select("doc_id", F.lit("d").alias("rel"),
+                   F.col("ptoken").alias("s1"), F.col("token").alias("s2"),
+                   F.col("kind").alias("s3"),
+                   F.col("pstart").alias("i1"), F.col("pend").alias("i2"),
+                   F.col("start").alias("i3"), F.col("end").alias("i4")))
+    g_i = (inf_edges.join(sub_docs, on="doc_id", how="left_semi")
+           .select("doc_id", F.lit("i").alias("rel"),
+                   F.col("src_id").alias("s1"), F.col("dst_id").alias("s2"),
+                   nul_s.alias("s3"), nul_i.alias("i1"), nul_i.alias("i2"),
+                   nul_i.alias("i3"), nul_i.alias("i4")))
+    g_r = (roots.join(sub_docs, on="doc_id", how="left_semi")
+           .select("doc_id", F.lit("r").alias("rel"),
+                   F.col("token").alias("s1"), nul_s.alias("s2"),
+                   nul_s.alias("s3"),
+                   F.col("start").alias("i1"), F.col("end").alias("i2"),
+                   nul_i.alias("i3"), nul_i.alias("i4")))
+    g = g_m.unionByName(g_d).unionByName(g_i).unionByName(g_r)
+    pruned = g.groupBy("doc_id").applyInPandas(_p3_run_doc, schema=_M_SCHEMA)
+    return passthrough.unionByName(pruned)
 
 
 # ---------------------------------------------------------------- P4

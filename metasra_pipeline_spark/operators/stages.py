@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.text import expand_token_closure
 from ..refdata import RefData
 
 TOK_COLS = ["doc_id", "token", "start", "end"]
@@ -74,27 +73,38 @@ def init_tokens(kv: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------------ T1-T8
-_EXP_SCHEMA = T.ArrayType(T.StructType([
+DERIV_COLS = ["doc_id", "ptoken", "pstart", "pend",
+              "token", "start", "end", "kind"]
+
+_EDGE_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("p", T.StringType()),
+    T.StructField("ps", T.IntegerType()),
+    T.StructField("pe", T.IntegerType()),
     T.StructField("g", T.StringType()),
     T.StructField("s", T.IntegerType()),
     T.StructField("e", T.IntegerType()),
+    T.StructField("k", T.StringType()),
 ]))
 
-_udf_cache: dict[str, object] = {}
+_udf_cache: dict[tuple, object] = {}
 
 
-def expand_all_tokens(tok: DataFrame, ref: RefData) -> DataFrame:
+def expansion_edges(tok: DataFrame, ref: RefData) -> DataFrame:
     """Stages T1–T8 (NGram → Lowercase → Delimit×4 → Inflectional /
     Spelling variants → ManuallyAnnotatedSynonyms → AcronymToExpansion,
-    run_pipeline.py:182-192) fused into one vectorized pandas UDF.
+    run_pipeline.py:182-192) fused into one vectorized pandas UDF that
+    emits the *derivation edges* (DERIV_COLS; kind = the reference's
+    DerivesInto/Inference labels).
 
     Every one of these stages derives tokens from token *strings* plus
     broadcast side tables — no document context — so the full expansion
     closure is a pure function per string
-    (functions/text.py:expand_token_closure).  Evaluating it once per
-    corpus-distinct string and joining back replaces a 10-deep
+    (functions/text.py:expand_token_closure_edges).  Evaluating it once
+    per corpus-distinct string and joining back replaces a 10-deep
     union-of-unions plan (exponential subtree duplication) with:
-    distinct (1 shuffle) → UDF → broadcast join back → dedup (1 shuffle).
+    distinct (1 shuffle) → UDF → join back → dedup (1 shuffle).  The
+    edge graph feeds exact P3 suppression and mapping_path provenance;
+    the token set is its child-node projection (``expand_all_tokens``).
     """
     raw = ref.raw
     syn_sets = [list(s) for s in raw["syn_sets"]]
@@ -106,13 +116,15 @@ def expand_all_tokens(tok: DataFrame, ref: RefData) -> DataFrame:
     inflections = {k: list(v) for k, v in raw["inflection_variants"].items()}
     spellings = {k: list(v) for k, v in raw["spelling_variants"].items()}
 
-    key = ("expand", id(ref))
+    key = ("expand_edges", id(ref))
     if key not in _udf_cache:
-        @F.pandas_udf(_EXP_SCHEMA)
+        from ..functions.text import expand_token_closure_edges
+
+        @F.pandas_udf(_EDGE_SCHEMA)
         def udf(tokens: pd.Series) -> pd.Series:
             return tokens.map(lambda t: [
-                {"g": g, "s": a, "e": b}
-                for g, a, b in expand_token_closure(
+                {"p": p, "ps": ps, "pe": pe, "g": g, "s": a, "e": b, "k": k}
+                for p, ps, pe, g, a, b, k in expand_token_closure_edges(
                     t, syn_sets, member_to_set, acronyms,
                     inflections, spellings)
             ])
@@ -121,14 +133,30 @@ def expand_all_tokens(tok: DataFrame, ref: RefData) -> DataFrame:
 
     distinct = tok.select("token").distinct()
     closure = distinct.withColumn("exp", expand_udf("token"))
-    new = (tok.join(closure, on="token")
-           .select("doc_id", F.explode("exp").alias("x"),
-                   F.col("start").alias("pstart"))
-           .select("doc_id",
-                   F.col("x.g").alias("token"),
-                   (F.col("pstart") + F.col("x.s")).cast("int").alias("start"),
-                   (F.col("pstart") + F.col("x.e")).cast("int").alias("end")))
-    return dedup_tokens(new)
+    return (tok.join(closure, on="token")
+            .select("doc_id", F.explode("exp").alias("x"),
+                    F.col("start").alias("rstart"))
+            .select("doc_id",
+                    F.col("x.p").alias("ptoken"),
+                    (F.col("rstart") + F.col("x.ps")).cast("int").alias("pstart"),
+                    (F.col("rstart") + F.col("x.pe")).cast("int").alias("pend"),
+                    F.col("x.g").alias("token"),
+                    (F.col("rstart") + F.col("x.s")).cast("int").alias("start"),
+                    (F.col("rstart") + F.col("x.e")).cast("int").alias("end"),
+                    F.col("x.k").alias("kind"))
+            .dropDuplicates(DERIV_COLS))
+
+
+def tokens_from_edges(roots: DataFrame, edges: DataFrame) -> DataFrame:
+    """Token set = root tokens ∪ derivation-edge children."""
+    children = edges.select("doc_id", "token", "start", "end")
+    return dedup_tokens(roots.select(*TOK_COLS).unionByName(children))
+
+
+def expand_all_tokens(tok: DataFrame, ref: RefData) -> DataFrame:
+    """T1–T8 token set (see ``expansion_edges``); kept for call sites
+    that don't need the edge graph."""
+    return tokens_from_edges(tok, expansion_edges(tok, ref))
 
 
 # ------------------------------------------------- side helpers (gating)
@@ -157,10 +185,13 @@ def tokens_in_value(kv: DataFrame, tok: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------- T9
 def property_specific_synonyms(kv: DataFrame, tok: DataFrame,
-                               matches: DataFrame, ref: RefData) -> DataFrame:
+                               matches: DataFrame, ref: RefData,
+                               with_edges: bool = False):
     """PropertySpecificSynonym_Stage (pipeline_components.py:415-461): for
     kv pairs whose key mapped to a property with value-synonym sets, expand
-    matching value-side tokens by their set (m ↔ male)."""
+    matching value-side tokens by their set (m ↔ male).  With
+    ``with_edges`` also returns the DerivesInto("Property-specific
+    synonym") derivation edges (:445)."""
     prop_ids = ref.prop_syn_sets.select("property_id").distinct()
     gated_kv = (key_side_targets(kv, matches)
                 .join(F.broadcast(prop_ids),
@@ -176,9 +207,19 @@ def property_specific_synonyms(kv: DataFrame, tok: DataFrame,
                   .where(F.col("a.member") != F.col("b.member"))
                   .select("property_id", F.col("a.member").alias("token"),
                           F.col("b.member").alias("new_token")))
-    new = (val_toks.join(F.broadcast(expansions), on=["property_id", "token"])
-           .select("doc_id", F.col("new_token").alias("token"), "start", "end"))
-    return dedup_tokens(tok.unionByName(new))
+    hit = val_toks.join(F.broadcast(expansions), on=["property_id", "token"])
+    new = hit.select("doc_id", F.col("new_token").alias("token"),
+                     "start", "end")
+    out = dedup_tokens(tok.unionByName(new))
+    if not with_edges:
+        return out
+    edges = (hit.select("doc_id", F.col("token").alias("ptoken"),
+                        F.col("start").alias("pstart"),
+                        F.col("end").alias("pend"),
+                        F.col("new_token").alias("token"), "start", "end",
+                        F.lit("Property-specific synonym").alias("kind"))
+             .dropDuplicates(DERIV_COLS))
+    return out, edges
 
 
 # ---------------------------------------------------------------- T10
@@ -188,10 +229,12 @@ _UNIT_EXPANSION = [("hr", "hour"), ("h", "hour"), ("hrs", "hour"),
 
 
 def parse_time_with_unit(kv: DataFrame, tok: DataFrame, matches: DataFrame,
-                         ref: RefData, spark) -> DataFrame:
+                         ref: RefData, spark, with_edges: bool = False):
     """ParseTimeWithUnit_Stage (pipeline_components.py:1341-1429): under
     time-typed keys, split '48h' → value token '48' + unit token 'h' + the
-    expanded unit synonym 'hour'."""
+    expanded unit synonym 'hour'.  With ``with_edges`` also returns the
+    DerivesInto("Parse time and unit") / ("Parse as unit synonym")
+    derivation edges (:1415-1427)."""
     time_ids = spark.createDataFrame([(t,) for t in ref.time_keys],
                                      "target_id: string")
     gated_kv = (key_side_targets(kv, matches)
@@ -216,8 +259,38 @@ def parse_time_with_unit(kv: DataFrame, tok: DataFrame, matches: DataFrame,
     unit_syn = (unit_toks.join(F.broadcast(exp_map), on="token")
                 .select("doc_id", F.col("expansion").alias("token"),
                         "start", "end"))
-    return dedup_tokens(tok.unionByName(value_toks).unionByName(unit_toks)
-                        .unionByName(unit_syn))
+    out = dedup_tokens(tok.unionByName(value_toks).unionByName(unit_toks)
+                       .unionByName(unit_syn))
+    if not with_edges:
+        return out
+
+    pv = (parsed.select("doc_id",
+                        F.col("token").alias("ptoken"),
+                        F.col("start").alias("pstart"),
+                        F.col("end").alias("pend"),
+                        F.col("v"), F.col("u")))
+    e_val = pv.select("doc_id", "ptoken", "pstart", "pend",
+                      F.col("v").alias("token"),
+                      F.col("pstart").alias("start"),
+                      (F.col("pstart") + F.length("v")).cast("int").alias("end"),
+                      F.lit("Parse time and unit").alias("kind"))
+    e_unit = pv.select("doc_id", "ptoken", "pstart", "pend",
+                       F.col("u").alias("token"),
+                       (F.col("pend") - F.length("u")).cast("int").alias("start"),
+                       F.col("pend").alias("end"),
+                       F.lit("Parse time and unit").alias("kind"))
+    e_syn = (e_unit.select("doc_id", F.col("token").alias("t"),
+                           "start", "end")
+             .join(F.broadcast(exp_map.withColumnRenamed("token", "t")),
+                   on="t")
+             .select("doc_id", F.col("t").alias("ptoken"),
+                     F.col("start").alias("pstart"),
+                     F.col("end").alias("pend"),
+                     F.col("expansion").alias("token"), "start", "end",
+                     F.lit("Parse as unit synonym").alias("kind")))
+    edges = (e_val.unionByName(e_unit).unionByName(e_syn)
+             .dropDuplicates(DERIV_COLS))
+    return out, edges
 
 
 # ---------------------------------------------------------------- J1

@@ -53,26 +53,71 @@ def checkpointed(spark: SparkSession, path: str, build) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# ------------------------------------------------------- snapshotters
+class Snapshotter:
+    """Stage-boundary materialization policy for the mapping pipeline.
+
+    Every named ``cut`` is both a lineage cut (the plan downstream reads
+    a materialized frame, not a re-derived subtree) and the resume
+    granularity: ``DirSnapshotter`` commits each cut as a parquet/Iceberg
+    snapshot and a re-run *reads the committed snapshot instead of
+    recomputing* (the reference's resume story is manual re-runs of
+    failed Condor chunks, create_metasra/Snakefile:481-486)."""
+
+    def cut(self, df: DataFrame, name: str) -> DataFrame:
+        raise NotImplementedError
+
+
+class NoSnapshotter(Snapshotter):
+    """No materialization — fully lazy plan (unit tests, tiny inputs)."""
+
+    def cut(self, df: DataFrame, name: str) -> DataFrame:
+        return df
+
+
+class LocalSnapshotter(Snapshotter):
+    """In-memory lineage cuts.  eager=True beats lazy empirically here
+    (lazy caused ~2× recompute patterns; see round-1 measurements)."""
+
+    def cut(self, df: DataFrame, name: str) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+
+class DirSnapshotter(Snapshotter):
+    """Durable per-stage snapshots with resume.
+
+    Each cut commits ``<workdir>/<name>`` atomically (_SUCCESS marker;
+    an Iceberg snapshot commit in production — the write path goes
+    through ``write_table`` so swapping in a catalog is config).  On
+    re-run, a committed stage is *read back*, never recomputed — kill
+    the job between any two stages and the re-run resumes from the last
+    commit."""
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.workdir = workdir
+        self.stages_resumed: list[str] = []
+        self.stages_computed: list[str] = []
+
+    def cut(self, df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(self.workdir, name)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            self.stages_resumed.append(name)
+        else:
+            self.stages_computed.append(name)
+        return checkpointed(self.spark, path, lambda: df)
+
+
 def run_checkpointed_pipeline(spark: SparkSession, documents: DataFrame,
                               ref, workdir: str):
-    """The mapping pipeline with per-stage snapshot checkpoints — kill it
-    after any stage and a re-run resumes from the last commit
-    (the reference's resumability story is manual re-runs of failed
-    Condor chunks, Snakefile:481-486; here it's snapshot reads)."""
-    from .ingest import documents_to_kv
-    from .operators import stages as S
+    """The mapping pipeline with per-stage durable snapshot checkpoints —
+    kill it after any stage and a re-run resumes from the last commit.
+    Every ``Snapshotter.cut`` point in plans/pipeline.py is a commit;
+    the returned frames read from the final committed snapshots."""
     from .plans.pipeline import run_mapping_pipeline
 
-    kv = checkpointed(
-        spark, os.path.join(workdir, "kv"),
-        lambda: S.key_value_filter(documents_to_kv(documents), ref)
-        .repartition("doc_id"))
-    tok = checkpointed(
-        spark, os.path.join(workdir, "tokens"),
-        lambda: S.expand_all_tokens(S.init_tokens(kv), ref))
-    # stages beyond tokens run in-memory off the checkpointed frames;
-    # finer-grained snapshots plug in at any _materialize point
-    res = run_mapping_pipeline(spark, documents, ref)
+    snap = DirSnapshotter(spark, workdir)
+    res = run_mapping_pipeline(spark, documents, ref, snap=snap)
     mapped = checkpointed(spark, os.path.join(workdir, "mapped_terms"),
                           lambda: res.mapped_terms)
     rv = checkpointed(spark, os.path.join(workdir, "real_values"),

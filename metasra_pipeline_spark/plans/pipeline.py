@@ -6,6 +6,16 @@ act on *node existence* (all term nodes created so far, surviving P4's
 node deletion), while the final consolidation resolves *reachability*
 through surviving edges — mirroring the reference's
 graph-mutation-then-extraction split.
+
+Materialization policy: the plan has exactly **11 named cut points**
+(``Snapshotter.cut``), chosen where a frame is re-read by several
+downstream consumers or closes a large fan-out.  Everything between
+cuts stays lazy — intermediate node-term unions are cheap re-scans of
+cut leaves, so the lazy chains cost plan size (bounded, ~2× per
+inference stage over materialized leaves), not recompute.  Round-1
+measured ~31 driver-synchronized jobs (a cut or a count each) costing
+50–80 s of fixed overhead at sf0.1 — the direct cause of the 0.333
+scaling efficiency; this shape cuts that to ~13 jobs.
 """
 
 from __future__ import annotations
@@ -20,6 +30,7 @@ from ..operators import consolidate as C
 from ..operators import inference as I
 from ..operators import precedence as P
 from ..operators import stages as S
+from ..ops import LocalSnapshotter, NoSnapshotter, Snapshotter
 from ..refdata import RefData
 
 
@@ -31,13 +42,6 @@ class PipelineResult:
     inf_edges: DataFrame
     real_values: DataFrame          # (doc_id, property_id, value, unit_id, consequent)
     mapped_terms: DataFrame         # (doc_id, term_id, consequent)
-
-
-def _materialize(df: DataFrame, enabled: bool) -> DataFrame:
-    """Cut lineage after the big fan-out phases.  localCheckpoint in local
-    mode; on a cluster, set a checkpoint dir and swap to .checkpoint() —
-    this is also the resume point (Iceberg snapshot per stage in prod)."""
-    return df.localCheckpoint(eager=True) if enabled else df
 
 
 def _targets(matches: DataFrame) -> DataFrame:
@@ -62,7 +66,10 @@ def cell_line_term_ids(ref: RefData) -> DataFrame:
 
 def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
                          ref: RefData, checkpoint: bool = True,
-                         with_ancestors: bool = False) -> PipelineResult:
+                         with_ancestors: bool = False,
+                         snap: Snapshotter | None = None) -> PipelineResult:
+    if snap is None:
+        snap = LocalSnapshotter() if checkpoint else NoSnapshotter()
     # Partition ONCE by doc_id.  Every downstream per-doc window /
     # groupBy / self-join keys on (doc_id, …) — HashPartitioning(doc_id)
     # satisfies ClusteredDistribution of any superset key, so Catalyst
@@ -70,78 +77,83 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
     # join-backs broadcast under AQE.  Net: ~one full-data shuffle for
     # the whole pipeline — the shape that survives 100 TB.
     kv = S.key_value_filter(documents_to_kv(documents), ref)   # F1
-    kv = kv.repartition("doc_id")
-    kv = _materialize(kv, checkpoint)
+    kv = snap.cut(kv.repartition("doc_id"), "kv")
 
-    tok = S.init_tokens(kv)                                    # F3
-    tok = S.expand_all_tokens(tok, ref)                        # T1–T8 fused
-    tok = _materialize(tok, checkpoint)
+    roots = S.init_tokens(kv)                                  # F3
+    # T1–T8 fused; the cut materializes the derivation-edge graph ONCE
+    # (one pandas-UDF eval per distinct string); the token set is its
+    # child projection — no second expansion job
+    deriv = snap.cut(S.expansion_edges(roots, ref), "deriv_expand")
+    tok = S.tokens_from_edges(roots, deriv)
 
     m = S.exact_match(tok, ref)                                # J1
-    tok = S.parse_time_with_unit(kv, tok, m, ref, spark)       # T10
+    tok, e10 = S.parse_time_with_unit(kv, tok, m, ref, spark,  # T10
+                                      with_edges=True)
     m = m.unionByName(S.two_char_match(tok, ref))              # J3
-    tok = S.property_specific_synonyms(kv, tok, m, ref)        # T9
-    tok = _materialize(tok, checkpoint)
+    tok, e9 = S.property_specific_synonyms(kv, tok, m, ref,    # T9
+                                           with_edges=True)
+    tok = snap.cut(tok, "tok_final")
+    deriv = deriv.unionByName(e10).unionByName(e9)
     m = m.unionByName(S.fuzzy_match(tok, ref))                 # J2
     m = m.unionByName(S.noun_phrase_match(tok, ref))           # J4
-    m = _materialize(m.dropDuplicates(S.MATCH_COLS), checkpoint)
+    m = snap.cut(m.dropDuplicates(S.MATCH_COLS), "m_matched")
 
     m = P.block_cell_line_matches(kv, m, ref.cell_line_keys,   # P4
                                   cell_line_term_ids(ref))
-    m = _materialize(m, checkpoint)
+    m = snap.cut(m, "m_p4")
 
     # node-existence term set is frozen after P4 (later stages delete
-    # edges, not nodes) and grows with each inference stage's outputs
-    node_terms = _materialize(_targets(m), checkpoint)
-    inf = spark.createDataFrame([], schema="doc_id: string, src_id: string, "
-                                           "dst_id: string, itype: string")
+    # edges, not nodes) and grows with each inference stage's outputs.
+    # The incremental unions stay LAZY: each is a re-scan of the nt0 /
+    # edge leaves (plan doubles per stage over cut leaves — bounded at
+    # 5 stages), which beats one driver-synchronized job per stage.
+    node_terms0 = snap.cut(_targets(m), "node_terms0")
+    nt = node_terms0
 
-    def grow(nt, inf_acc, edges):
-        """Fold one inference stage's edges into the node-term set and
-        edge accumulator, materializing both — the alternative
-        (self-referential union chains) doubles the logical plan per
-        stage (2^k subtree copies by the last stage)."""
-        inf_acc = _materialize(inf_acc.unionByName(edges), checkpoint)
-        nt = _materialize(nt.unionByName(_dsts(edges)).distinct(),
-                          checkpoint)
-        return nt, inf_acc
+    e1 = I.linked_terms_of_superterms(nt, ref)                 # I1
+    nt = nt.unionByName(_dsts(e1)).distinct()
+    e2 = I.cell_line_to_implied_disease(nt, ref)               # I2
+    nt = nt.unionByName(_dsts(e2)).distinct()
+    inf12 = e1.unionByName(e2)
 
-    e1 = I.linked_terms_of_superterms(node_terms, ref)         # I1
-    node_terms, inf = grow(node_terms, inf, e1)
-    e2 = I.cell_line_to_implied_disease(node_terms, ref)       # I2
-    node_terms, inf = grow(node_terms, inf, e2)
+    m = P.remove_subinterval_matches(m, deriv, inf12, roots)   # P3
+    m = snap.cut(m, "m_p3")
 
-    m = P.remove_subinterval_matches(m, inf)                   # P3
-    m = _materialize(m, checkpoint)
+    e3 = I.custom_consequent_terms(nt, ref)                    # I3
+    nt = nt.unionByName(_dsts(e3)).distinct()
+    e7 = I.term_artifact_combinations(tok, nt, ref)            # I7
+    # cut the edge accumulator right after I7: I7 is the one expensive
+    # inference stage (full-token joins + groupBys) and the accumulator
+    # is re-read 3× by R1's closure loop and again by the final union —
+    # without this cut I7 re-evaluates ~5× (measured 21 s at 1k docs)
+    inf_r1 = snap.cut(inf12.unionByName(e3).unionByName(e7), "inf_pre_rv")
+    # nt after I7 ≡ nt0 ∪ dsts(all edges so far) — rebuild from the two
+    # cut leaves instead of re-evaluating the lazy union chain
+    nt = snap.cut(node_terms0.unionByName(_dsts(inf_r1)).distinct(),
+                  "node_terms")
 
-    e3 = I.custom_consequent_terms(node_terms, ref)            # I3
-    node_terms, inf = grow(node_terms, inf, e3)
-    e7 = I.term_artifact_combinations(tok, node_terms, ref)    # I7
-    node_terms, inf = grow(node_terms, inf, e7)
-
-    rv = I.extract_real_values(kv, tok, m, inf, ref)           # R1
+    rv = I.extract_real_values(kv, tok, m, inf_r1, ref)        # R1
     rv = rv.withColumn("consequent", F.lit(False))
 
     m = P.filter_matches_by_priority(m)                        # P2
 
-    e5, rv_cvcl = I.infer_cell_line_terms(node_terms, ref)     # I5
-    node_terms, inf = grow(node_terms, inf, e5)
+    e5, rv_cvcl = I.infer_cell_line_terms(nt, ref)             # I5
+    nt = nt.unionByName(_dsts(e5)).distinct()
     rv_all = rv.unionByName(
         rv_cvcl.select("doc_id", "property_id", "value", "unit_id")
         .withColumn("consequent", F.lit(True))
     ).dropDuplicates(["doc_id", "property_id", "value", "unit_id"])
-    rv_all = _materialize(rv_all, checkpoint)
+    rv_all = snap.cut(rv_all, "real_values")
 
     e6 = I.implied_developmental_stage(rv_all)                 # I6
-    inf = inf.unionByName(e6)
-    e4 = I.consequent_cultured_cell(node_terms)                # I4
-    inf = inf.unionByName(e4)
+    e4 = I.consequent_cultured_cell(nt)                        # I4
+    inf = inf_r1.unionByName(e5).unionByName(e6).unionByName(e4)
 
     m = P.prioritize_exact_over_fuzzy(m)                       # P1
-    m = _materialize(m, checkpoint)
-    inf = _materialize(inf, checkpoint)
+    m = snap.cut(m, "m_final")
+    inf = snap.cut(inf, "inf_edges")
 
     mapped = C.consolidate(m, inf, rv_all, ref,
-                           with_ancestors=with_ancestors)
+                           with_ancestors=with_ancestors, snap=snap)
     return PipelineResult(kv=kv, tokens=tok, matches=m, inf_edges=inf,
                           real_values=rv_all, mapped_terms=mapped)

@@ -54,6 +54,7 @@ class RefData:
     nonmappable_terms: list[str] = field(default_factory=list)
     cell_line_keys: list[str] = field(default_factory=list)
     time_keys: list[str] = field(default_factory=list)
+    cvcl_subsets: DataFrame | None = None   # (cvcl_id, subset)
 
     # ---- dict mirrors for pandas UDFs (Arrow-shipped via closure) ----
     @property
@@ -99,9 +100,30 @@ def _lexicon_rows(raw: dict[str, Any]) -> list[tuple]:
     return rows
 
 
+#: every key a raw refdata dict must carry (empty defaults for tests)
+EMPTY_RAW: dict[str, Any] = {
+    "terms": [], "exact_match_onts": [], "fuzzy_match_onts": [],
+    "ancestors": [], "syn_sets": [], "acronyms": {},
+    "inflection_variants": {}, "spelling_variants": {}, "two_char": {},
+    "noun_phrases": [], "filter_keys": [], "filter_values": [],
+    "linked_terms": {}, "implied_disease": {}, "consequent_terms": {},
+    "cvcl_mappings": {}, "prop_syn_sets": {}, "term_artifact_combos": [],
+    "real_value_properties": {"property_term_ids": [], "default_units": {}},
+    "mappable_prefixes": [], "nonmappable_terms": [],
+    "cell_line_keys": [], "time_keys": [], "cvcl_subsets": {},
+}
+
+
 def load_refdata(spark: SparkSession, path: str | None = None) -> RefData:
     with open(path or DEFAULT_REFDATA) as f:
         raw = json.load(f)
+    return refdata_from_raw(spark, raw)
+
+
+def refdata_from_raw(spark: SparkSession, raw: dict[str, Any]) -> RefData:
+    """Build the broadcastable RefData bundle from a raw dict (the JSON
+    fixture's in-memory form; tests construct minimal ones from
+    ``EMPTY_RAW``)."""
 
     def df(data: list[tuple], schema: str) -> DataFrame:
         return spark.createDataFrame(data, schema=schema) if data else \
@@ -180,4 +202,8 @@ def load_refdata(spark: SparkSession, path: str | None = None) -> RefData:
         nonmappable_terms=list(raw.get("nonmappable_terms", [])),
         cell_line_keys=list(raw["cell_line_keys"]),
         time_keys=list(raw["time_keys"]),
+        cvcl_subsets=df(
+            [(cv, s) for cv, ss in raw.get("cvcl_subsets", {}).items()
+             for s in ss],
+            "cvcl_id: string, subset: string"),
     )

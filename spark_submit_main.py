@@ -37,7 +37,10 @@ def main() -> None:
         documents = spark.read.table(args.documents)
 
     ref = load_refdata(spark, args.refdata)
-    res = run_mapping_pipeline(spark, documents, ref)
+    # durable per-stage snapshots under --workdir/stages: kill the job
+    # after any stage and a re-run resumes from the last commit
+    snap = ops.DirSnapshotter(spark, os.path.join(args.workdir, "stages"))
+    res = run_mapping_pipeline(spark, documents, ref, snap=snap)
 
     ops.write_table(res.mapped_terms,
                     os.path.join(args.workdir, "mapped_terms"))

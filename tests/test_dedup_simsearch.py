@@ -97,3 +97,20 @@ def test_textstats(spark):
     langs = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
     assert langs["x"] == "en" and langs["y"] == "de"
     assert langs["z"] == "unknown"
+
+
+def test_lsh_bucket_cap_bounds_dup_heavy_corpus(spark):
+    """1k exact duplicates land in one band bucket; the max_bucket cap
+    drops the oversized buckets instead of emitting ~500k × 4 pairs."""
+    from metasra_pipeline_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    rows = [(f"d{i:04d}", "same text every time") for i in range(1000)]
+    rows.append(("zz", "completely different content"))
+    docs = spark.createDataFrame(rows, "doc_id: string, text: string")
+    sig = minhash_signatures(docs, k=8)
+    capped = lsh_candidate_pairs(sig, band_size=4, max_bucket=100)
+    assert capped.count() == 0            # oversized buckets dropped
+    uncapped = lsh_candidate_pairs(sig, band_size=4, max_bucket=None)
+    assert uncapped.count() == 1000 * 999 // 2

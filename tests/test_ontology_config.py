@@ -1,0 +1,113 @@
+"""Ontology-config slicing + synonym overlays (S4 / load_ontology.py)."""
+
+from pyspark.sql import functions as F
+
+from metasra_pipeline_spark.sources.obo import parse_obo
+from metasra_pipeline_spark.sources.ontology_config import (
+    apply_synonym_overlays,
+    lexicon_raw_terms,
+    load_ontology_config,
+    restrict_to_roots,
+)
+
+_MINI_OBO = """format-version: 1.2
+
+[Term]
+id: CL:0000000
+name: cell
+
+[Term]
+id: CL:0000001
+name: primary cultured cell
+synonym: "unpassaged cultured cell" EXACT []
+synonym: "bad syn" RELATED []
+is_a: CL:0000000 ! cell
+
+[Term]
+id: CL:0000002
+name: deep cell
+is_a: CL:0000001 ! primary cultured cell
+
+[Term]
+id: CL:0000099
+name: orphan island
+is_a: CL:0000098 ! missing parent
+
+[Term]
+id: XX:0000001
+name: wrong idspace
+is_a: CL:0000000 ! cell
+"""
+
+
+def _tables(spark):
+    terms, syns, edges = parse_obo(_MINI_OBO)
+    return {
+        "terms": spark.createDataFrame(
+            terms, "term_id: string, name: string, ont: string"),
+        "synonyms": spark.createDataFrame(
+            syns, "term_id: string, syn_str: string, syn_type: string"),
+        "edges": spark.createDataFrame(
+            edges, "child_id: string, parent_id: string, rel: string"),
+    }
+
+
+def test_rooted_subgraph_slice(spark):
+    cfg = {"id_spaces": ["CL"], "roots": ["CL:0000000"],
+           "exclude_terms": ["CL:0000000"]}
+    sliced = load_ontology_config(_tables(spark), cfg)
+    kept = {r["term_id"] for r in sliced["terms"].collect()}
+    # descendants-or-self of the root; the orphan and wrong id-space drop
+    assert kept == {"CL:0000000", "CL:0000001", "CL:0000002"}
+    edges = {(r["child_id"], r["parent_id"])
+             for r in sliced["edges"].collect()}
+    assert edges == {("CL:0000001", "CL:0000000"),
+                     ("CL:0000002", "CL:0000001")}
+    assert sliced["nonmappable_terms"] == ["CL:0000000"]
+
+
+def test_overlays_reach_exact_match(spark):
+    cfg = {"id_spaces": ["CL"], "roots": ["CL:0000000"],
+           "exclude_terms": []}
+    sliced = load_ontology_config(
+        _tables(spark), cfg,
+        extra_syns={"CL:0000001": ["pcc special name"]},
+        remove_syns={"CL:0000001": {"exclude_synonyms": ["bad syn"]}})
+    syns = {(r["syn_str"], r["syn_type"])
+            for r in sliced["synonyms"].collect()}
+    assert ("pcc special name", "ENRICHED") in syns
+    assert not any(s == "bad syn" for s, _ in syns)
+
+    # the ENRICHED synonym must survive into a J1 exact match
+    from metasra_pipeline_spark.operators.stages import exact_match
+    from metasra_pipeline_spark.refdata import EMPTY_RAW, refdata_from_raw
+    raw = dict(EMPTY_RAW)
+    raw.update({"terms": lexicon_raw_terms(sliced, "CL"),
+                "exact_match_onts": ["CL"],
+                "mappable_prefixes": ["CL"]})
+    ref = refdata_from_raw(spark, raw)
+    tok = spark.createDataFrame(
+        [("d1", "pcc special name", 0, 16)],
+        "doc_id: string, token: string, start: int, end: int")
+    hits = exact_match(tok, ref).collect()
+    assert [(h["target_id"], h["match_target"]) for h in hits] == \
+        [("CL:0000001", "ENRICHED_SYNONYM")]
+
+
+def test_removal_strips_enriched_too(spark):
+    tabs = _tables(spark)
+    out = apply_synonym_overlays(
+        tabs["synonyms"],
+        extra_syns={"CL:0000001": ["ghost"]},
+        remove_syns={"CL:0000001": ["ghost"]})
+    assert out.where(F.col("syn_str") == "ghost").count() == 0
+
+
+def test_restrict_prunes_dangling(spark):
+    tabs = _tables(spark)
+    out = restrict_to_roots(tabs, ["CL:0000001"])
+    kept = {r["term_id"] for r in out["terms"].collect()}
+    assert kept == {"CL:0000001", "CL:0000002"}
+    # the CL:0000001 → CL:0000000 edge dangles (parent outside) → pruned
+    assert {(r["child_id"], r["parent_id"]) for r in out["edges"].collect()} \
+        == {("CL:0000002", "CL:0000001")}

@@ -175,9 +175,39 @@ def test_classifier_end_to_end(spark):
                        on="doc_id")
     acc = joined.where("sample_type = truth").count() / joined.count()
     assert acc >= 0.95, acc
-    # C5 override: xenograft forces tissue
+    # C5 rules (one_vs_rest_classifier_same_features.py:185-254): masks
+    # zero confidences and the survivors renormalize — never a hard class
     kv2 = spark.createDataFrame(
-        [("x1", "cell line", "HeLa"), ("x1", "note", "xenograft model")],
+        [("x1", "cell line", "HeLa"), ("x1", "note", "model")],
         "doc_id: string, key: string, value: string")
-    p2 = predict_sample_type(model, ll, kv2).collect()[0]
+    # xenograft term EFO:0003942 → every non-tissue class zeroed
+    mt = spark.createDataFrame([("x1", "EFO:0003942")],
+                               "doc_id: string, term_id: string")
+    p2 = predict_sample_type(model, ll, kv2, mapped_terms=mt).collect()[0]
     assert p2["sample_type"] == "tissue" and p2["confidence"] == 1.0
+    # passage number (EFO:0007061 in UO:0000189) > 0 → not tissue, not
+    # primary_cells; this sample's kv text favors cell_line anyway
+    rv = spark.createDataFrame([("x1", "EFO:0007061", 3.0, "UO:0000189")],
+                               "doc_id: string, property_id: string, "
+                               "value: double, unit_id: string")
+    p3 = predict_sample_type(model, ll, kv2, real_values=rv).collect()[0]
+    assert p3["sample_type"] not in ("tissue", "primary_cells")
+    # Cellosaurus subset: an Embryonic_stem_cell CVCL term restricts the
+    # allowed set to {stem_cells, in_vitro_differentiated_cells} — but
+    # neither was trained here, so the zeroing must eliminate all three
+    # trained classes and confidence collapses to the unnormalized path
+    mt2 = spark.createDataFrame([("x1", "CVCL:0000X")],
+                                "doc_id: string, term_id: string")
+    subs = spark.createDataFrame([("CVCL:0000X", "Cancer_cell_line")],
+                                 "cvcl_id: string, subset: string")
+    p4 = predict_sample_type(model, ll, kv2, mapped_terms=mt2,
+                             cvcl_subsets=subs).collect()[0]
+    assert p4["sample_type"] == "cell_line" and p4["confidence"] == 1.0
+    # stem-cell term CL:0000034 with no cell-line type found → zeroes
+    # cell_line/tissue/primary_cells — ALL trained classes here, so the
+    # confidence vector collapses to zero (the reference returns an
+    # arbitrary key of an all-zero dict in that degenerate case)
+    mt3 = spark.createDataFrame([("x1", "CL:0000034")],
+                                "doc_id: string, term_id: string")
+    p5 = predict_sample_type(model, ll, kv2, mapped_terms=mt3).collect()[0]
+    assert p5["confidence"] == 0.0
