@@ -136,7 +136,8 @@ def token_idf(profiles: DataFrame, min_df: int = 5,
 def score_pairs(pairs: DataFrame, profiles: DataFrame,
                 idf: dict[str, float] | None = None,
                 default_idf: float = 10.0,
-                prefilter_jaccard: float = 0.2) -> DataFrame:
+                prefilter_jaccard: float = 0.2,
+                reject_below: float | None = None) -> DataFrame:
     """(doc_a, doc_b, score) via one mapInPandas pass fusing IDF-weighted
     token similarity + JW + Levenshtein-ratio (vectorized Arrow
     batches).
@@ -187,13 +188,76 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
     bc_idf = (pairs.sparkSession.sparkContext.broadcast(idf)
               if idf is not None else None)
 
+    rb = reject_below
+
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idf_local = bc_idf.value if bc_idf is not None else None
+        if idf_local is not None:
+            get = idf_local.get
+
+            def w(t):
+                return get(t, default_idf)
+        else:
+            def w(t):
+                return 1.0
+
+        # per-DOC structures are memoized across the batch: a doc appears
+        # in many candidate pairs, and set/bucket construction was the
+        # bulk of the per-pair Python cost
+        cache: dict = {}
+
+        def doc_data(doc_id, toks):
+            d = cache.get(doc_id)
+            if d is None:
+                s = set(toks)
+                wsum = sum(w(t) for t in s)
+                first = set()
+                digits = set()
+                for t in s:
+                    if any(c.isdigit() for c in t):
+                        digits.add(t)
+                    else:
+                        first.add(t[0])
+                d = (s, wsum, first, digits)
+                cache[doc_id] = d
+            return d
+
         for pdf in batches:
             scores = []
-            for pa, pb, ta, tb, lr in zip(pdf["prof_a"], pdf["prof_b"],
-                                          pdf["toks_a"], pdf["toks_b"],
-                                          pdf["lr"]):
+            for da, db, pa, pb, ta, tb, lr in zip(
+                    pdf["doc_a"], pdf["doc_b"], pdf["prof_a"], pdf["prof_b"],
+                    pdf["toks_a"], pdf["toks_b"], pdf["lr"]):
+                sa, wa, fa, dig_a = doc_data(da, ta)
+                sb, wb, fb, dig_b = doc_data(db, tb)
+                if rb is not None:
+                    # sound upper bound on the kernel score, all set ops:
+                    # exact tokens give full credit; a non-shared alpha
+                    # token can earn at most w(t) and only when the other
+                    # side has a token with the same first char (the
+                    # kernel's own candidate rule); digit tokens earn
+                    # only exact credit; JW ≤ 1.  Pairs whose bound sits
+                    # below the decision threshold skip the expensive
+                    # soft-TFIDF/JW path entirely.
+                    num_ub = 0.0
+                    den = wa + wb
+                    for t in sa:
+                        if t in sb:
+                            num_ub += 2 * w(t)
+                        elif t not in dig_a and t[0] in fb:
+                            num_ub += w(t)
+                    for t in sb:
+                        if t not in sa and t not in dig_b and t[0] in fa:
+                            num_ub += w(t)
+                    conf_a = dig_a - sb
+                    conf_b = dig_b - sa
+                    if conf_a and conf_b:
+                        den += sum(w(t) for t in conf_a) \
+                            + sum(w(t) for t in conf_b)
+                    upper = 0.65 * (num_ub / den if den else 1.0) \
+                        + 0.15 * lr + 0.2
+                    if upper < rb:
+                        scores.append(upper - 0.2)  # partial, sans JW cap
+                        continue
                 if idf_local is None:
                     from ..functions.similarity import token_set_jaccard
                     jac = token_set_jaccard(ta, tb)
@@ -302,7 +366,8 @@ def resolve_entities(spark: SparkSession, documents: DataFrame,
     idf, default_idf = token_idf(profiles)
     keys, hot = blocking_keys(profiles, ngram=ngram, max_block=max_block)
     pairs = candidate_pairs(keys)
-    scored = score_pairs(pairs, profiles, idf=idf, default_idf=default_idf)
+    scored = score_pairs(pairs, profiles, idf=idf, default_idf=default_idf,
+                         reject_below=threshold)
     if checkpoint:
         scored = scored.localCheckpoint(eager=True)
     edges = scored.where(F.col("score") >= threshold)
