@@ -171,16 +171,24 @@ def predict_sample_type(model, label_list: list[str], kv: DataFrame,
                         mapped_terms: DataFrame | None = None,
                         real_values: DataFrame | None = None,
                         cvcl_subsets: DataFrame | None = None,
-                        n_features: int = 4096) -> DataFrame:
+                        n_features: int = 4096,
+                        terms_as_features: bool = False) -> DataFrame:
     """→ (doc_id, sample_type, confidence).
 
     C5/C6 exactly as the reference applies them
     (one_vs_rest_classifier_same_features.py:185-272): the rules ZERO
     per-class confidences (they never hard-assign a class), then the
     surviving vector is renormalized and argmaxed.  All masks are native
-    column expressions over the probability array."""
+    column expressions over the probability array.
+
+    ``terms_as_features`` must match how the model was trained (term
+    features change the vector width); the C5 rules consume
+    ``mapped_terms`` either way, like the reference's ``predicted_terms``
+    argument."""
     from pyspark.ml.functions import vector_to_array
-    feats = _assemble(doc_feature_text(kv), mapped_terms, n_features)
+    feats = _assemble(doc_feature_text(kv),
+                      mapped_terms if terms_as_features else None,
+                      n_features)
     pred = (model.transform(feats)
             .select("doc_id", vector_to_array("probability").alias("probs")))
     pred = pred.join(_rule_flags(kv, mapped_terms, real_values,

@@ -20,7 +20,7 @@ text_reasoning_graph.py:465-516) with set-based reachability:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..refdata import RefData
@@ -83,12 +83,85 @@ def reachable_terms(final_matches: DataFrame, inf_edges: DataFrame,
     return seeds.unionByName(via).distinct()
 
 
+def term_provenance(final_matches: DataFrame, inf_edges: DataFrame,
+                    kv: DataFrame, max_depth: int = _CLOSURE_DEPTH
+                    ) -> DataFrame:
+    """A1 lineage: (doc_id, term_id, orig_key, orig_val, mapping_path).
+
+    The flattened analogue of the reference's reverse-Dijkstra extraction
+    (pipeline_components.py:132-230 + text_reasoning_graph.py:465-516):
+    each term's provenance is the kv pair with the minimum-depth path —
+    direct matches at depth 0 (token interval inside the kv's key or
+    value span), inference-derived terms inherit their source term's kv
+    at depth+1; ties break on (key_start, match start, key, value) the
+    way the reference's min() breaks on its first-seen shortest path.
+    ``mapping_path`` is a compact string rendering of the hop sequence.
+    """
+    m = final_matches.where(~F.col("target_id").startswith("NP:"))
+    j = m.join(kv, on="doc_id")
+    base_cols = [
+        "doc_id", F.col("target_id").alias("term_id"),
+        F.col("key").alias("orig_key"), F.col("value").alias("orig_val"),
+        F.lit(0).alias("depth"), "key_start", "start",
+    ]
+    path0 = lambda side: F.array(  # noqa: E731
+        F.concat(F.lit(f"kv[{side}]:"), F.col("key"), F.lit("="),
+                 F.col("value")),
+        F.concat(F.lit("tok:"), F.col("token")),
+        F.concat(F.lit("match:"), F.col("match_target"),
+                 F.lit(" edit="), F.col("edit_dist").cast("string")),
+        F.concat(F.lit("term:"), F.col("target_id")))
+    key_side = (j.where((F.col("start") >= F.col("key_start"))
+                        & (F.col("end") <= F.col("key_end")))
+                .select(*base_cols, path0("key").alias("mapping_path")))
+    val_side = (j.where((F.col("start") >= F.col("val_start"))
+                        & (F.col("end") <= F.col("val_end")))
+                .select(*base_cols, path0("val").alias("mapping_path")))
+    prov = key_side.unionByName(val_side)
+
+    term_edges = (inf_edges.where(~F.col("src_id").startswith("RV:"))
+                  .select("doc_id", F.col("src_id").alias("term_id"),
+                          "dst_id", "itype").distinct())
+    # RV:<property_id> sources: the implied term inherits the property
+    # term's own provenance (the reference walks back through the
+    # real-value node to the same kv)
+    rv_edges = (inf_edges.where(F.col("src_id").startswith("RV:"))
+                .select("doc_id",
+                        F.expr("substring(src_id, 4)").alias("term_id"),
+                        "dst_id", "itype").distinct())
+    frontier = prov
+    for d in range(1, max_depth + 1):
+        edges = term_edges if d > 1 else term_edges.unionByName(rv_edges)
+        frontier = (frontier.join(edges, on=["doc_id", "term_id"])
+                    .select("doc_id", F.col("dst_id").alias("term_id"),
+                            "orig_key", "orig_val",
+                            F.lit(d).alias("depth"), "key_start", "start",
+                            F.concat("mapping_path",
+                                     F.array(F.concat(F.lit("inf:"),
+                                                      F.col("itype"))),
+                                     F.array(F.concat(F.lit("term:"),
+                                                      F.col("dst_id"))))
+                            .alias("mapping_path")))
+        prov = prov.unionByName(frontier)
+
+    w = Window.partitionBy("doc_id", "term_id").orderBy(
+        "depth", "key_start", "start", "orig_key", "orig_val",
+        "mapping_path")
+    return (prov.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id", "term_id", "orig_key", "orig_val",
+                    "mapping_path"))
+
+
 def consolidate(final_matches: DataFrame, inf_edges: DataFrame,
                 real_values: DataFrame, ref: RefData,
                 exclude_real_value_properties: bool = True,
                 with_ancestors: bool = False,
+                with_provenance: bool = True,
+                kv: DataFrame | None = None,
                 snap=None) -> DataFrame:
-    """→ mapped_terms(doc_id, term_id, consequent: boolean)."""
+    """→ mapped_terms(doc_id, term_id, consequent[, orig_key, orig_val,
+    mapping_path])."""
     reach = reachable_terms(final_matches, inf_edges, snap=snap)
 
     explicit_match = (final_matches
@@ -121,6 +194,12 @@ def consolidate(final_matches: DataFrame, inf_edges: DataFrame,
 
     if with_ancestors:
         out = add_ancestor_closure(out, ref)
+    if with_provenance and kv is not None:
+        # left join: pure-ancestor additions have no own path (the
+        # reference's superterm closure is a plain id-set union too,
+        # run_pipeline.py:98-103)
+        out = out.join(term_provenance(final_matches, inf_edges, kv),
+                       on=["doc_id", "term_id"], how="left")
     return out
 
 

@@ -79,7 +79,10 @@ def implied_developmental_stage(real_values: DataFrame) -> DataFrame:
     return (adult.select("doc_id").distinct()
             .crossJoin(F.broadcast(spark.createDataFrame(
                 [("EFO:0001272",), ("UBERON:0007023",)], "dst_id: string")))
-            .select("doc_id", F.lit("RV:age").alias("src_id"), "dst_id",
+            # src carries the property id so provenance can walk back to
+            # the age kv pair (the reference's real-value node)
+            .select("doc_id", F.lit("RV:EFO:0000246").alias("src_id"),
+                    "dst_id",
                     F.lit("Infer developmental stage").alias("itype")))
 
 
@@ -177,11 +180,16 @@ def extract_real_values(kv: DataFrame, tok: DataFrame, matches: DataFrame,
 
     out = (numeric.join(unit_agg, on=["doc_id", "key_start"], how="left")
            .join(F.broadcast(ref.default_units), on="property_id", how="left")
+           .join(kv.select("doc_id", "key_start",
+                           F.col("key").alias("orig_key"),
+                           F.col("value").alias("orig_val")).distinct(),
+                 on=["doc_id", "key_start"], how="left")
            .select(
                "doc_id", "property_id", "value",
                F.when(F.col("n_units") == 1, F.col("the_unit"))
                 .when(F.col("n_units").isNull() | (F.col("n_units") == 0),
                       F.coalesce(F.col("unit_id"), F.lit("missing")))
-                .otherwise(F.lit(None).cast("string")).alias("unit_id"))
+                .otherwise(F.lit(None).cast("string")).alias("unit_id"),
+               "orig_key", "orig_val")
            .distinct())
     return out

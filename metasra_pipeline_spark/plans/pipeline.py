@@ -139,10 +139,22 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
 
     e5, rv_cvcl = I.infer_cell_line_terms(nt, ref)             # I5
     nt = nt.unionByName(_dsts(e5)).distinct()
-    rv_all = rv.unionByName(
-        rv_cvcl.select("doc_id", "property_id", "value", "unit_id")
-        .withColumn("consequent", F.lit(True))
-    ).dropDuplicates(["doc_id", "property_id", "value", "unit_id"])
+    rv_inf = (rv_cvcl.select("doc_id", "property_id", "value", "unit_id")
+              .withColumn("consequent", F.lit(True))
+              .withColumn("orig_key", F.lit(None).cast("string"))
+              .withColumn("orig_val", F.lit(None).cast("string")))
+    # groupBy-min merge (not dropDuplicates): deterministic when a row is
+    # both extracted and cvcl-inferred — explicit extraction wins the
+    # consequent flag, and provenance prefers the non-null kv pair
+    pick = F.min(F.struct(F.col("orig_key").isNull().alias("n"),
+                          "orig_key", "orig_val")).alias("_p")
+    rv_all = (rv.unionByName(rv_inf)
+              .groupBy("doc_id", "property_id", "value", "unit_id")
+              .agg(F.min(F.col("consequent").cast("int")).cast("boolean")
+                   .alias("consequent"), pick)
+              .select("doc_id", "property_id", "value", "unit_id",
+                      "consequent", F.col("_p.orig_key").alias("orig_key"),
+                      F.col("_p.orig_val").alias("orig_val")))
     rv_all = snap.cut(rv_all, "real_values")
 
     e6 = I.implied_developmental_stage(rv_all)                 # I6
@@ -154,6 +166,6 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
     inf = snap.cut(inf, "inf_edges")
 
     mapped = C.consolidate(m, inf, rv_all, ref,
-                           with_ancestors=with_ancestors, snap=snap)
+                           with_ancestors=with_ancestors, kv=kv, snap=snap)
     return PipelineResult(kv=kv, tokens=tok, matches=m, inf_edges=inf,
                           real_values=rv_all, mapped_terms=mapped)

@@ -101,3 +101,35 @@ def test_g5_cell_line_blocked_under_non_cell_line_key(result):
     # 'HeLa' under key 'treatment' (no cell-line key term) → P4 deletes the
     # CVCL node and with it the whole inference cascade
     assert _mapped(result, "g5") == set()
+
+
+def _prov(result, doc, term):
+    rows = [r for r in result["mapped"]
+            if r["doc_id"] == doc and r["term_id"] == term]
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_g1_provenance(result):
+    # A1 lineage: direct match carries the originating kv pair + path
+    p = _prov(result, "g1", "UBERON:0001379")
+    assert p["orig_key"] in ("tissue", "source_name")
+    assert "vastus lateralis" in p["orig_val"]
+    assert p["mapping_path"][0].startswith("kv[")
+    assert any(s.startswith("match:") for s in p["mapping_path"])
+    # real values carry their kv too
+    rv = [r for r in result["rv"]
+          if r["doc_id"] == "g1" and r["property_id"] == "EFO:0000246"]
+    assert rv[0]["orig_key"] == "age" and rv[0]["orig_val"] == "48"
+
+
+def test_g4_provenance_through_inference(result):
+    # consequent terms walk back through the inference chain to the
+    # cell-line kv (min-depth path)
+    p = _prov(result, "g4", "CL:0000010")
+    assert p["orig_key"] == "cell line"
+    assert p["orig_val"] == "MDA-MB-231"
+    assert any(s.startswith("inf:") for s in p["mapping_path"])
+    # direct terms stay depth-0: no inference hop in the path
+    d = _prov(result, "g4", "CVCL:0062")
+    assert not any(s.startswith("inf:") for s in d["mapping_path"])

@@ -211,3 +211,46 @@ def test_classifier_end_to_end(spark):
                                 "doc_id: string, term_id: string")
     p5 = predict_sample_type(model, ll, kv2, mapped_terms=mt3).collect()[0]
     assert p5["confidence"] == 0.0
+
+
+def test_specialist_full_tables(spark, tmp_path):
+    """LEXICON + LRAGR/LRSPL/LRNOM/LRTRM → EUI-keyed entries → variants
+    (load_specialist_lex.py:25-224 re-expressed relationally)."""
+    from metasra_pipeline_spark.sources.specialist import (
+        load_lexicon_bases,
+        specialist_entries,
+        variants_from_entries,
+    )
+    (tmp_path / "LEXICON").write_text(
+        "{base=tumor\n\tentry=E001\n\tcat=noun\n}\n"
+        "{base=anneal\n\tentry=E002\n\tcat=verb\n}\n")
+    (tmp_path / "LRAGR").write_text(
+        "E001|tumors|noun|plural|tumor|tumor\n"
+        "E001|tumor|noun|base|tumor|tumor\n")      # base row skipped
+    (tmp_path / "LRSPL").write_text("E001|tumour|tumor\n")
+    (tmp_path / "LRNOM").write_text("E002|annealing|X\n")
+    (tmp_path / "LRTRM").write_text("E001|x|Tumorex\n")
+
+    bases = load_lexicon_bases(spark, str(tmp_path / "LEXICON"))
+    entries = specialist_entries(
+        spark, bases,
+        lragr_path=str(tmp_path / "LRAGR"),
+        lrspl_path=str(tmp_path / "LRSPL"),
+        lrnom_path=str(tmp_path / "LRNOM"),
+        lrtrm_path=str(tmp_path / "LRTRM"))
+    got = {(r["eui"], r["string"], r["kind"]) for r in entries.collect()}
+    assert ("E001", "tumor", "base") in got
+    assert ("E001", "tumors", "inflection") in got
+    assert ("E001", "tumor", "inflection") not in got   # base-dup skipped
+    assert ("E001", "tumour", "spelling") in got
+    assert ("E002", "annealing", "nominalization") in got
+    assert ("E001", "Tumorex", "trademark") in got
+
+    var = {(r["base"], r["variant"]) for r in
+           variants_from_entries(entries).collect()}
+    # a query on ANY entry string reaches the others of the same EUI
+    assert ("tumour", "tumors") in var and ("tumors", "tumour") in var
+    assert ("Tumorex", "tumor") in var                  # trademark query
+    nom = {(r["base"], r["variant"]) for r in variants_from_entries(
+        entries, kinds=("nominalization",)).collect()}
+    assert ("anneal", "annealing") in nom
