@@ -323,6 +323,100 @@ def _q28_blocking_keys(spark, sf):
             .agg(F.countDistinct("doc_id").alias("n_docs")))
 
 
+# ---------------------------------------- lexicon-build / output operators
+def _q29_linked_terms(spark, sf):
+    """J5 cross-ontology same-string linking (lexicon_build) over two
+    string sets derived from the documents table (rare tokens only)."""
+    from metasra_pipeline_spark.functions import dedup as _D
+    from metasra_pipeline_spark.sources.lexicon_build import linked_terms_table
+    toks = (_D.tokens(_t(spark, sf, "documents").select("doc_id", "text"))
+            .where(F.length("tok") >= 8).distinct())
+    a = (toks.where(F.col("doc_id") % 2 == 0)
+         .select(F.concat(F.lit("A:"), "doc_id").alias("term_id"),
+                 F.col("tok").alias("string")))
+    b = (toks.where(F.col("doc_id") % 2 == 1)
+         .select(F.concat(F.lit("B:"), "doc_id").alias("term_id"),
+                 F.col("tok").alias("string")))
+    return linked_terms_table(a, b)
+
+
+def _q30_superterm_linked(spark, sf):
+    """Superterm-linked-terms builder over a nation→region hierarchy."""
+    from metasra_pipeline_spark.sources.lexicon_build import (
+        superterm_linked_table,
+    )
+    n = _t(spark, sf, "nation")
+    anc = n.select(F.concat(F.lit("N:"), "n_name").alias("term_id"),
+                   F.concat(F.lit("R:"), "n_regionkey").alias("anc_id"))
+    linked = (_t(spark, sf, "region")
+              .select(F.concat(F.lit("R:"), "r_regionkey").alias("term_id"),
+                      F.concat(F.lit("X:"), "r_name").alias("linked_id")))
+    return superterm_linked_table(anc, linked)
+
+
+def _q31_implications(spark, sf):
+    """J6 implication mining: part-name token phrases imply their tokens."""
+    from metasra_pipeline_spark.sources.lexicon_build import implications_table
+    p = _t(spark, sf, "part").select(
+        F.concat(F.lit("P:"), "p_partkey").alias("term_id"),
+        F.lower("p_name").alias("name"))
+    a_terms = (p.select(F.explode(F.split("name", " ")).alias("name"))
+               .distinct()
+               .select(F.concat(F.lit("A:"), "name").alias("term_id"), "name"))
+    empty_syn = spark.createDataFrame(
+        [], "term_id: string, syn_str: string, syn_type: string")
+    return implications_table(a_terms, empty_syn, p, empty_syn)
+
+
+def _q32_website_term_query(spark, sf):
+    """A8 3-table build + website query-by-term read path."""
+    from metasra_pipeline_spark.functions import dedup as _D
+    from metasra_pipeline_spark.outputs import (
+        build_metasra_tables,
+        query_metasra_for_term,
+    )
+    docs = _t(spark, sf, "documents")
+    lex = spark.createDataFrame(_LEXICON, "term: string, category: string")
+    toks = _D.tokens(docs.select("doc_id", "text")).distinct()
+    mapped = (toks.join(F.broadcast(lex), toks.tok == lex.term)
+              .select(F.col("doc_id").cast("string").alias("doc_id"),
+                      F.col("term").alias("term_id"), F.lit(False)
+                      .alias("consequent")))
+    rv = spark.createDataFrame(
+        [], "doc_id: string, property_id: string, value: double, "
+            "unit_id: string, consequent: boolean")
+    types = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(F.col("n_chars") > 200, F.lit("tissue"))
+         .otherwise(F.lit("cell_line")).alias("sample_type"),
+        F.lit(0.9).alias("confidence"))
+    t = build_metasra_tables(mapped, rv, types)
+    return (query_metasra_for_term(t, "scan", sample_type="cell line")
+            .select(F.col("sample_accession").cast("bigint")
+                    .alias("sample_accession"),
+                    "term_id", "sample_type", "confidence"))
+
+
+def _q33_subgraph_slice(spark, sf):
+    """Rooted ontology-subgraph slicing (descendants_or_self) over the
+    orders→customer→nation→region hierarchy, rooted at region 0."""
+    from metasra_pipeline_spark.sources.ontology_config import (
+        descendants_or_self,
+    )
+    o = _t(spark, sf, "orders").select(
+        F.concat(F.lit("O:"), "o_orderkey").alias("child_id"),
+        F.concat(F.lit("C:"), "o_custkey").alias("parent_id"))
+    c = _t(spark, sf, "customer").select(
+        F.concat(F.lit("C:"), "c_custkey").alias("child_id"),
+        F.concat(F.lit("N:"), "c_nationkey").alias("parent_id"))
+    n = _t(spark, sf, "nation").select(
+        F.concat(F.lit("N:"), "n_nationkey").alias("child_id"),
+        F.concat(F.lit("R:"), "n_regionkey").alias("parent_id"))
+    edges = (o.unionByName(c).unionByName(n)
+             .withColumn("rel", F.lit("is_a")))
+    return descendants_or_self(edges, ["R:0"])
+
+
 # ------------------------------------------- non-SQL-expressible (rows-only)
 def _q90_er_resolve(spark, sf):
     """Full blocking→scoring→CC entity resolution over span documents
@@ -389,6 +483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_jw_pairs": _q26_jw_pairs,
         "q27_graph_components": _q27_graph_components,
         "q28_blocking_keys": _q28_blocking_keys,
+        "q29_linked_terms": _q29_linked_terms,
+        "q30_superterm_linked": _q30_superterm_linked,
+        "q31_implications": _q31_implications,
+        "q32_website_term_query": _q32_website_term_query,
+        "q33_subgraph_slice": _q33_subgraph_slice,
         "q90_er_resolve": _q90_er_resolve,
         "q91_mapping_pipeline": _q91_mapping_pipeline,
     }
@@ -688,6 +787,80 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u AS user_id, min(v) AS component_id
             FROM r GROUP BY u""",
+        "q29_linked_terms": f"""
+            WITH {_TOKS_CTE},
+            dt AS (SELECT DISTINCT doc_id, tok FROM toks WHERE len(tok) >= 8),
+            a AS (SELECT concat('A:', doc_id) AS linked_id, tok AS string
+                  FROM dt WHERE doc_id % 2 = 0),
+            b AS (SELECT concat('B:', doc_id) AS term_id, tok AS string
+                  FROM dt WHERE doc_id % 2 = 1)
+            SELECT DISTINCT term_id, linked_id
+            FROM b JOIN a USING (string)
+            WHERE term_id <> linked_id""",
+        "q30_superterm_linked": """
+            WITH anc AS (SELECT concat('N:', n_name) AS term_id,
+                                concat('R:', n_regionkey) AS anc_id
+                         FROM nation),
+            uni AS (SELECT term_id FROM anc
+                    UNION SELECT anc_id FROM anc
+                    UNION SELECT concat('R:', r_regionkey) FROM region),
+            sup AS (SELECT term_id, anc_id FROM anc
+                    UNION SELECT term_id, term_id FROM uni),
+            lk AS (SELECT concat('R:', r_regionkey) AS anc_id,
+                          concat('X:', r_name) AS linked_id FROM region)
+            SELECT DISTINCT term_id, linked_id
+            FROM sup JOIN lk USING (anc_id)
+            WHERE term_id <> linked_id""",
+        "q31_implications": """
+            WITH p AS (SELECT concat('P:', p_partkey) AS term_id,
+                              lower(p_name) AS name FROM part),
+            a AS (SELECT DISTINCT concat('A:', tok) AS implied_id, tok AS name
+                  FROM (SELECT unnest(string_split(name, ' ')) AS tok FROM p)),
+            -- b-in-a probe: a part name equal to a single token (none, but
+            -- keep the semantics); then token-subset + substring match
+            b AS (SELECT term_id, name FROM p
+                  WHERE name NOT IN (SELECT name FROM a)),
+            hit AS (SELECT b.term_id, a.implied_id
+                    FROM b JOIN a ON b.name LIKE concat('%', a.name, '%')
+                    WHERE a.name <> b.name
+                      AND len(a.name) >= 3 AND len(b.name) >= 3
+                      AND list_has_all(string_split(b.name, ' '),
+                                       string_split(a.name, ' ')))
+            SELECT DISTINCT term_id, implied_id FROM hit""",
+        "q32_website_term_query": """
+            WITH toks AS (SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^0-9a-z]+'),
+                   t -> len(t) > 0)) AS tok FROM documents),
+            lex(term, category) AS (VALUES ('scan','op'),('join','op'),
+                 ('filter','op'),('sort','op'),('merge','op'),('window','op'),
+                 ('hash','op'),('stream','op')),
+            mapped AS (SELECT DISTINCT doc_id AS sample_accession,
+                              term AS term_id
+                       FROM toks JOIN lex ON tok = term),
+            st AS (SELECT doc_id AS sample_accession,
+                          CASE WHEN n_chars > 200 THEN 'tissue'
+                               ELSE 'cell line' END AS sample_type,
+                          0.9 AS confidence
+                   FROM documents)
+            SELECT sample_accession, term_id, sample_type, confidence
+            FROM mapped JOIN st USING (sample_accession)
+            WHERE term_id = 'scan' AND sample_type = 'cell line'""",
+        "q33_subgraph_slice": """
+            WITH RECURSIVE edges AS (
+                SELECT concat('O:', o_orderkey) AS child_id,
+                       concat('C:', o_custkey) AS parent_id FROM orders
+                UNION ALL
+                SELECT concat('C:', c_custkey), concat('N:', c_nationkey)
+                FROM customer
+                UNION ALL
+                SELECT concat('N:', n_nationkey), concat('R:', n_regionkey)
+                FROM nation),
+            down(term_id) AS (
+                SELECT 'R:0'
+                UNION
+                SELECT e.child_id FROM edges e JOIN down d
+                  ON e.parent_id = d.term_id)
+            SELECT DISTINCT term_id FROM down""",
         "q28_blocking_keys": f"""
             WITH {_TOKS_CTE},
             dt AS (SELECT DISTINCT doc_id, tok FROM toks)
