@@ -131,7 +131,12 @@ def expansion_edges(tok: DataFrame, ref: RefData) -> DataFrame:
         _udf_cache[key] = udf
     expand_udf = _udf_cache[key]
 
-    distinct = tok.select("token").distinct()
+    # the UDF stage is CPU-bound Python: pin its parallelism to cores
+    # explicitly — an AQE byte-advisory coalesce would otherwise run the
+    # whole expansion in 1-2 tasks at benchmark data sizes (same lesson
+    # as the ER scorer's pre-kernel repartition)
+    par = tok.sparkSession.sparkContext.defaultParallelism * 2
+    distinct = tok.select("token").distinct().repartition(par)
     closure = distinct.withColumn("exp", expand_udf("token"))
     return (tok.join(closure, on="token")
             .select("doc_id", F.explode("exp").alias("x"),
