@@ -77,9 +77,19 @@ class NoSnapshotter(Snapshotter):
 
 class LocalSnapshotter(Snapshotter):
     """In-memory lineage cuts.  eager=True beats lazy empirically here
-    (lazy caused ~2× recompute patterns; see round-1 measurements)."""
+    (lazy caused ~2× recompute patterns; see round-1 measurements).
+
+    Set ``SNAP_TIMINGS=1`` to print per-cut wall seconds to stderr —
+    the profiling hook behind the scaling work in BENCH/BASELINE.md."""
 
     def cut(self, df: DataFrame, name: str) -> DataFrame:
+        if os.environ.get("SNAP_TIMINGS") == "1":
+            import sys
+            t0 = time.time()
+            out = df.localCheckpoint(eager=True)
+            print(f"# cut {name}: {time.time() - t0:.2f}s",
+                  file=sys.stderr, flush=True)
+            return out
         return df.localCheckpoint(eager=True)
 
 

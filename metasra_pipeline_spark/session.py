@@ -41,7 +41,8 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled",
+                os.environ.get("SPARK_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # default 64m is right for production-size shuffles; benchmarks on
         # small in-sandbox data set this lower (env) or AQE coalesces
