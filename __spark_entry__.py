@@ -417,6 +417,48 @@ def _q33_subgraph_slice(spark, sf):
     return descendants_or_self(edges, ["R:0"])
 
 
+_CVCL_SYN_SETS = [["nation_0", "nation_zero", "n0"],
+                  ["nation_1", "nation_one"],
+                  ["nation_7", "nation_seven", "n7"]]
+_ATCC_KEYS = ["src1", "src7", "src13"]
+_ATCC_VALS = ["de"]
+
+
+def _q34_cellosaurus_synonyms(spark, sf):
+    """T7 CellosaurusSynonyms_Stage via the real engine operator
+    (operators/stages.py:cellosaurus_synonyms): tokens whose string is a
+    synonym-set member derive every other member at the same interval."""
+    from metasra_pipeline_spark.operators.stages import cellosaurus_synonyms
+    from metasra_pipeline_spark.refdata import EMPTY_RAW, refdata_from_raw
+    n = _t(spark, sf, "nation")
+    tok = n.select(F.concat(F.lit("N:"), "n_nationkey").alias("doc_id"),
+                   F.lower("n_name").alias("token"),
+                   F.lit(0).alias("tstart"),
+                   F.length("n_name").cast("int").alias("tend"))
+    ref = refdata_from_raw(spark, {**EMPTY_RAW,
+                                   "cvcl_syn_sets": _CVCL_SYN_SETS})
+    out = cellosaurus_synonyms(
+        tok.withColumnRenamed("tstart", "start")
+           .withColumnRenamed("tend", "end"), ref)
+    return (out.withColumnRenamed("start", "tstart")
+            .withColumnRenamed("end", "tend"))
+
+
+def _q35_atcc_filter(spark, sf):
+    """F2 ATCCKeyValueFilter_Stage via the real engine operator
+    (operators/stages.py:atcc_key_value_filter): broadcast anti-joins
+    against the curated cell-line key/value blocklists."""
+    from metasra_pipeline_spark.operators.stages import atcc_key_value_filter
+    from metasra_pipeline_spark.refdata import EMPTY_RAW, refdata_from_raw
+    d = _t(spark, sf, "documents")
+    kv = d.select("doc_id", F.col("source").alias("key"),
+                  F.col("lang").alias("value"))
+    ref = refdata_from_raw(spark, {**EMPTY_RAW,
+                                   "cell_line_filter_keys": _ATCC_KEYS,
+                                   "cell_line_filter_values": _ATCC_VALS})
+    return atcc_key_value_filter(kv, ref)
+
+
 # ------------------------------------------- non-SQL-expressible (rows-only)
 def _q90_er_resolve(spark, sf):
     """Full blocking→scoring→CC entity resolution over span documents
@@ -488,6 +530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_implications": _q31_implications,
         "q32_website_term_query": _q32_website_term_query,
         "q33_subgraph_slice": _q33_subgraph_slice,
+        "q34_cellosaurus_synonyms": _q34_cellosaurus_synonyms,
+        "q35_atcc_filter": _q35_atcc_filter,
         "q90_er_resolve": _q90_er_resolve,
         "q91_mapping_pipeline": _q91_mapping_pipeline,
     }
@@ -500,6 +544,15 @@ _TOKS_CTE = (
     "AS tok FROM documents)"
 )
 _H = ("CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)")
+
+
+def _cvcl_syn_vals() -> str:
+    return ", ".join(f"({i}, '{m}')"
+                     for i, s in enumerate(_CVCL_SYN_SETS) for m in s)
+
+
+_ATCC_KEYS_SQL = ", ".join(f"'{k}'" for k in _ATCC_KEYS)
+_ATCC_VALS_SQL = ", ".join(f"'{v}'" for v in _ATCC_VALS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -866,4 +919,23 @@ def oracle_sql() -> dict[str, str]:
             dt AS (SELECT DISTINCT doc_id, tok FROM toks)
             SELECT tok AS key, count(DISTINCT doc_id) AS n_docs
             FROM dt WHERE len(tok) >= 6 GROUP BY tok""",
+        "q34_cellosaurus_synonyms": f"""
+            WITH tok AS (
+                SELECT concat('N:', n_nationkey) AS doc_id,
+                       lower(n_name) AS token, 0 AS tstart,
+                       CAST(len(n_name) AS INT) AS tend
+                FROM nation),
+            sets(set_id, member) AS (VALUES {_cvcl_syn_vals()}),
+            exp AS (SELECT a.member AS token, b.member AS new_token
+                    FROM sets a JOIN sets b USING (set_id)
+                    WHERE a.member <> b.member)
+            SELECT DISTINCT doc_id, token, tstart, tend FROM (
+                SELECT doc_id, token, tstart, tend FROM tok
+                UNION ALL
+                SELECT t.doc_id, e.new_token, t.tstart, t.tend
+                FROM tok t JOIN exp e ON t.token = e.token)""",
+        "q35_atcc_filter": f"""
+            SELECT doc_id, source AS key, lang AS value FROM documents
+            WHERE source NOT IN ({_ATCC_KEYS_SQL})
+              AND lang NOT IN ({_ATCC_VALS_SQL})""",
     }

@@ -237,6 +237,7 @@ EDGE_LOWERCASE = "Lowercase"
 EDGE_INFLECTION = "Inflectional variant"
 EDGE_SPELLING = "Spelling variant"
 EDGE_SYNONYM = "Synonym"
+EDGE_CVCL_SYNONYM = "Cellosaurus synonym"
 EDGE_ACRONYM = "Acronym to expansion"
 EDGE_PROP_SYN = "Property-specific synonym"
 EDGE_TIME_PARSE = "Parse time and unit"

@@ -58,6 +58,24 @@ def key_value_filter(kv: DataFrame, ref: RefData) -> DataFrame:
     return out.join(F.broadcast(ref.filter_values), on="value", how="left_anti")
 
 
+# ---------------------------------------------------------------- F2
+def atcc_key_value_filter(kv: DataFrame, ref: RefData,
+                          perform_filter_keys: bool = True,
+                          perform_filter_values: bool = True) -> DataFrame:
+    """ATCCKeyValueFilter_Stage (pipeline_components.py:1162-1192): the
+    cell-line-specific blocklist variant of F1 — drops kv pairs whose key
+    (or value) appears in the curated ATCC cell-line filter list.  Same
+    broadcast anti-join plan as F1, different side table."""
+    out = kv
+    if perform_filter_keys:
+        out = out.join(F.broadcast(ref.atcc_filter_keys), on="key",
+                       how="left_anti")
+    if perform_filter_values:
+        out = out.join(F.broadcast(ref.atcc_filter_values), on="value",
+                       how="left_anti")
+    return out
+
+
 # ---------------------------------------------------------------- F3
 def init_tokens(kv: DataFrame) -> DataFrame:
     """InitKeyValueTokens_Stage (pipeline_components.py:238-261): one token
@@ -191,7 +209,8 @@ def tokens_in_value(kv: DataFrame, tok: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------- T9
 def property_specific_synonyms(kv: DataFrame, tok: DataFrame,
                                matches: DataFrame, ref: RefData,
-                               with_edges: bool = False):
+                               with_edges: bool = False,
+                               dedup: bool = True):
     """PropertySpecificSynonym_Stage (pipeline_components.py:415-461): for
     kv pairs whose key mapped to a property with value-synonym sets, expand
     matching value-side tokens by their set (m ↔ male).  With
@@ -215,7 +234,9 @@ def property_specific_synonyms(kv: DataFrame, tok: DataFrame,
     hit = val_toks.join(F.broadcast(expansions), on=["property_id", "token"])
     new = hit.select("doc_id", F.col("new_token").alias("token"),
                      "start", "end")
-    out = dedup_tokens(tok.unionByName(new))
+    out = tok.unionByName(new)
+    if dedup:
+        out = dedup_tokens(out)
     if not with_edges:
         return out
     edges = (hit.select("doc_id", F.col("token").alias("ptoken"),
@@ -227,6 +248,40 @@ def property_specific_synonyms(kv: DataFrame, tok: DataFrame,
     return out, edges
 
 
+# ---------------------------------------------------------------- T7
+def cellosaurus_synonyms(tok: DataFrame, ref: RefData,
+                         with_edges: bool = False,
+                         dedup: bool = True):
+    """CellosaurusSynonyms_Stage (pipeline_components.py:356-358, base
+    Synonyms_Stage :323-353): every token whose string belongs to a
+    Cellosaurus synonym set derives all other members of that set at the
+    same character interval.  One broadcast join against the
+    pair-expanded set table — the Spark form of the reference's
+    per-token set scan."""
+    from ..functions.text import EDGE_CVCL_SYNONYM
+    sets = ref.cvcl_syn_sets
+    expansions = (sets.alias("a").join(sets.alias("b"), on="set_id")
+                  .where(F.col("a.member") != F.col("b.member"))
+                  .select(F.col("a.member").alias("token"),
+                          F.col("b.member").alias("new_token"))
+                  .distinct())
+    hit = tok.join(F.broadcast(expansions), on="token")
+    new = hit.select("doc_id", F.col("new_token").alias("token"),
+                     "start", "end")
+    out = tok.unionByName(new)
+    if dedup:
+        out = dedup_tokens(out)
+    if not with_edges:
+        return out
+    edges = (hit.select("doc_id", F.col("token").alias("ptoken"),
+                        F.col("start").alias("pstart"),
+                        F.col("end").alias("pend"),
+                        F.col("new_token").alias("token"), "start", "end",
+                        F.lit(EDGE_CVCL_SYNONYM).alias("kind"))
+             .dropDuplicates(DERIV_COLS))
+    return out, edges
+
+
 # ---------------------------------------------------------------- T10
 _TIME_RE = r"^([0-9]*)\s*(h|hr|mo|d|min)$"
 _UNIT_EXPANSION = [("hr", "hour"), ("h", "hour"), ("hrs", "hour"),
@@ -234,7 +289,8 @@ _UNIT_EXPANSION = [("hr", "hour"), ("h", "hour"), ("hrs", "hour"),
 
 
 def parse_time_with_unit(kv: DataFrame, tok: DataFrame, matches: DataFrame,
-                         ref: RefData, spark, with_edges: bool = False):
+                         ref: RefData, spark, with_edges: bool = False,
+                         dedup: bool = True):
     """ParseTimeWithUnit_Stage (pipeline_components.py:1341-1429): under
     time-typed keys, split '48h' → value token '48' + unit token 'h' + the
     expanded unit synonym 'hour'.  With ``with_edges`` also returns the
@@ -264,8 +320,13 @@ def parse_time_with_unit(kv: DataFrame, tok: DataFrame, matches: DataFrame,
     unit_syn = (unit_toks.join(F.broadcast(exp_map), on="token")
                 .select("doc_id", F.col("expansion").alias("token"),
                         "start", "end"))
-    out = dedup_tokens(tok.unionByName(value_toks).unionByName(unit_toks)
-                       .unionByName(unit_syn))
+    out = (tok.unionByName(value_toks).unionByName(unit_toks)
+           .unionByName(unit_syn))
+    # dedup=False defers the full-table distinct to the caller's next
+    # cut (pipeline.py runs T10→J3→T9 back-to-back; every consumer in
+    # between is duplicate-insensitive, so one distinct replaces three)
+    if dedup:
+        out = dedup_tokens(out)
     if not with_edges:
         return out
 

@@ -87,12 +87,16 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
     tok = S.tokens_from_edges(roots, deriv)
 
     m = S.exact_match(tok, ref)                                # J1
+    # T10/T9 defer their full-token distinct (dedup=False): J3/T9's
+    # joins in between are duplicate-insensitive and matches are
+    # deduped at the m_matched cut, so one distinct at tok_final
+    # replaces three full-table shuffles
     tok, e10 = S.parse_time_with_unit(kv, tok, m, ref, spark,  # T10
-                                      with_edges=True)
+                                      with_edges=True, dedup=False)
     m = m.unionByName(S.two_char_match(tok, ref))              # J3
     tok, e9 = S.property_specific_synonyms(kv, tok, m, ref,    # T9
-                                           with_edges=True)
-    tok = snap.cut(tok, "tok_final")
+                                           with_edges=True, dedup=False)
+    tok = snap.cut(S.dedup_tokens(tok), "tok_final")
     deriv = deriv.unionByName(e10).unionByName(e9)
     m = m.unionByName(S.fuzzy_match(tok, ref))                 # J2
     m = m.unionByName(S.noun_phrase_match(tok, ref))           # J4

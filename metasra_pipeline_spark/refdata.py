@@ -55,6 +55,9 @@ class RefData:
     cell_line_keys: list[str] = field(default_factory=list)
     time_keys: list[str] = field(default_factory=list)
     cvcl_subsets: DataFrame | None = None   # (cvcl_id, subset)
+    cvcl_syn_sets: DataFrame | None = None  # (set_id, member) — T7
+    atcc_filter_keys: DataFrame | None = None    # (key,)   — F2
+    atcc_filter_values: DataFrame | None = None  # (value,) — F2
 
     # ---- dict mirrors for pandas UDFs (Arrow-shipped via closure) ----
     @property
@@ -111,6 +114,8 @@ EMPTY_RAW: dict[str, Any] = {
     "real_value_properties": {"property_term_ids": [], "default_units": {}},
     "mappable_prefixes": [], "nonmappable_terms": [],
     "cell_line_keys": [], "time_keys": [], "cvcl_subsets": {},
+    "cvcl_syn_sets": [], "cell_line_filter_keys": [],
+    "cell_line_filter_values": [],
 }
 
 
@@ -206,4 +211,14 @@ def refdata_from_raw(spark: SparkSession, raw: dict[str, Any]) -> RefData:
             [(cv, s) for cv, ss in raw.get("cvcl_subsets", {}).items()
              for s in ss],
             "cvcl_id: string, subset: string"),
+        cvcl_syn_sets=df(
+            [(i, m) for i, s in enumerate(raw.get("cvcl_syn_sets", []))
+             for m in s],
+            "set_id: long, member: string"),
+        atcc_filter_keys=df(
+            [(k,) for k in raw.get("cell_line_filter_keys", [])],
+            "key: string"),
+        atcc_filter_values=df(
+            [(v,) for v in raw.get("cell_line_filter_values", [])],
+            "value: string"),
     )
