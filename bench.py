@@ -48,7 +48,7 @@ def main() -> None:
     import __spark_entry__ as em
     from metasra_pipeline_spark.datagen import synth_documents
     from metasra_pipeline_spark.er.resolution import resolve_entities
-    from metasra_pipeline_spark.plans.pipeline import run_mapping_pipeline
+    from metasra_pipeline_spark.plans.pipeline import run_chunked_pipeline
     from metasra_pipeline_spark.refdata import load_refdata
 
     qs = em.queries()
@@ -83,9 +83,16 @@ def main() -> None:
     if run_map:
         map_docs = (synth_documents(spark, n_map_docs, seed=42)
                     .select("doc_id", "spans").localCheckpoint(eager=True))
+        # run_chunked_pipeline is the production shape (per-chunk jobs,
+        # gather_mappings.py:25-41) but each chunk re-pays the fixed
+        # per-pipeline CPU (codegen, broadcasts, shared-string
+        # expansion); at sandbox doc counts that duplication outweighs
+        # the barrier-drain fill (measured 95s @ C=1 vs 150-197s @ C=4,
+        # 30k docs / 8 cores), so the bench defaults to one chunk
+        n_chunks = int(os.environ.get("BENCH_MAP_CHUNKS", "1"))
         t0 = time.time()
-        run_mapping_pipeline(spark, map_docs, ref).mapped_terms \
-            .write.format("noop").mode("overwrite").save()
+        run_chunked_pipeline(spark, map_docs, ref, n_chunks=n_chunks) \
+            .mapped_terms.write.format("noop").mode("overwrite").save()
         t_map = time.time() - t0
         timings["map_pipeline"] = round(t_map, 3)
         if verbose:

