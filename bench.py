@@ -78,8 +78,55 @@ def main() -> None:
     t_map = t_er = None
     run_map = not only or "map_pipeline" in only
     run_er = not only or "er_resolve" in only
+    concurrent = os.environ.get("BENCH_CONCURRENT", "") == "1"
     if run_map or run_er:
         ref = load_refdata(spark)
+    if concurrent and run_map and run_er:
+        # production-workload mode: the two independent headline jobs
+        # run concurrently under the FAIR scheduler — one job's tasks
+        # fill the other's stage-barrier drains, which is how a real
+        # multi-tenant cluster is operated.  Reports the suite wall
+        # (throughput = total docs / wall) plus each job's overlapped
+        # wall (annotated: they share the cluster).
+        from concurrent.futures import ThreadPoolExecutor
+        map_docs = (synth_documents(spark, n_map_docs, seed=42)
+                    .select("doc_id", "spans").localCheckpoint(eager=True))
+        er_docs = (synth_documents(spark, n_er_docs, seed=43)
+                   .select("doc_id", "spans").localCheckpoint(eager=True))
+
+        def do_map():
+            t0 = time.time()
+            run_chunked_pipeline(spark, map_docs, ref, n_chunks=1) \
+                .mapped_terms.write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        def do_er():
+            t0 = time.time()
+            resolve_entities(spark, er_docs)["clusters"] \
+                .write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        t0 = time.time()
+        with ThreadPoolExecutor(2) as ex:
+            f_map, f_er = ex.submit(do_map), ex.submit(do_er)
+            t_map, t_er = f_map.result(), f_er.result()
+        wall = time.time() - t0
+        timings["map_pipeline"] = round(t_map, 3)
+        timings["er_resolve"] = round(t_er, 3)
+        out = {
+            "metric": "bench_suite_seconds",
+            "value": round(wall, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir.rstrip("/").split("sf")[-1],
+            "cpus": int(cpus),
+            "concurrent": True,
+            "map_docs_per_sec": round(n_map_docs / t_map, 2),
+            "er_docs_per_sec": round(n_er_docs / t_er, 2),
+            "suite_docs_per_sec": round((n_map_docs + n_er_docs) / wall, 2),
+        }
+        print(json.dumps(out))
+        return
     if run_map:
         map_docs = (synth_documents(spark, n_map_docs, seed=42)
                     .select("doc_id", "spans").localCheckpoint(eager=True))

@@ -61,6 +61,63 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float],
             .limit(k))
 
 
+def ivf_build(embeddings: DataFrame, n_lists: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              seed: int = 42):
+    """Train a real IVF coarse quantizer: k-means centroids over the
+    embedding column (pyspark.ml, deterministic seed), assign every
+    vector its inverted-list id.
+
+    Returns ``(assigned, centroids)`` where ``assigned`` is the input
+    plus ``list_id`` — at scale written partitioned/bucketed by
+    ``list_id`` so a probe is a partition-pruned scan — and
+    ``centroids`` is the small (n_lists × dim) python list used
+    driver-side to pick probe lists.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    feat = embeddings.withColumn("_features", array_to_vector(vec_d))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_features",
+                predictionCol="list_id")
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("_features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_probe(assigned: DataFrame, centroids: list[list[float]],
+              query_vec: list[float], k: int = 5, nprobe: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              round_to: int = 4) -> DataFrame:
+    """ANN probe over an ``ivf_build`` index: rank centroids by cosine
+    to the query (driver-side — n_lists × dim floats, bounded), scan
+    only the ``nprobe`` nearest inverted lists, exact top-k within.
+    With list-partitioned storage the `isin` filter partition-prunes,
+    so the probe touches nprobe/n_lists of the data."""
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(range(len(centroids)),
+                    key=lambda i: -cos(centroids[i], query_vec))
+    probe_lists = ranked[:nprobe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (assigned
+            .where(F.col("list_id").isin(probe_lists))
+            .select(F.col(id_col),
+                    F.round(cosine_similarity_col(vec_d, q), round_to)
+                    .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.col(id_col))
+            .limit(k))
+
+
 def knn_join_per_label(embeddings: DataFrame, k: int = 3,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        label_col: str = "label",

@@ -22,13 +22,20 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--refdata", default=None)
     ap.add_argument("--er", action="store_true")
+    ap.add_argument("--chunks", type=int, default=1,
+                    help="concurrent per-chunk pipelines (the reference's "
+                         "Condor-chunk production shape); each chunk "
+                         "snapshots and resumes independently")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
     spark = SparkSession.builder.appName("metasra-pipeline").getOrCreate()
 
     from metasra_pipeline_spark import ops
-    from metasra_pipeline_spark.plans.pipeline import run_mapping_pipeline
+    from metasra_pipeline_spark.plans.pipeline import (
+        run_chunked_pipeline,
+        run_mapping_pipeline,
+    )
     from metasra_pipeline_spark.refdata import load_refdata
 
     if "/" in args.documents or args.documents.endswith(".parquet"):
@@ -38,9 +45,21 @@ def main() -> None:
 
     ref = load_refdata(spark, args.refdata)
     # durable per-stage snapshots under --workdir/stages: kill the job
-    # after any stage and a re-run resumes from the last commit
-    snap = ops.DirSnapshotter(spark, os.path.join(args.workdir, "stages"))
-    res = run_mapping_pipeline(spark, documents, ref, snap=snap)
+    # after any stage and a re-run resumes from the last commit; with
+    # --chunks > 1 each chunk snapshots under stages/chunk=<i> and a
+    # failed chunk re-runs alone (reference: failed-Condor-chunk
+    # re-submission, create_metasra/Snakefile:481-486)
+    if args.chunks > 1:
+        def snap_factory(i: int) -> ops.DirSnapshotter:
+            return ops.DirSnapshotter(
+                spark, os.path.join(args.workdir, "stages", f"chunk={i}"))
+        res = run_chunked_pipeline(spark, documents, ref,
+                                   n_chunks=args.chunks,
+                                   snap_factory=snap_factory)
+    else:
+        snap = ops.DirSnapshotter(spark,
+                                  os.path.join(args.workdir, "stages"))
+        res = run_mapping_pipeline(spark, documents, ref, snap=snap)
 
     ops.write_table(res.mapped_terms,
                     os.path.join(args.workdir, "mapped_terms"))

@@ -78,6 +78,32 @@ def test_cosine_topk_and_ivf(spark):
     assert [r["vec_id"] for r in ivf] == [1, 2, 4]   # label-pruned
 
 
+def test_ivf_kmeans_build_and_probe(spark):
+    """Real IVF: k-means coarse quantizer + nprobe-list probe recovers
+    the brute-force top-k when the query's cluster holds its true
+    neighbors."""
+    from metasra_pipeline_spark.functions.simsearch import (
+        cosine_topk,
+        ivf_build,
+        ivf_probe,
+    )
+    rows = ([(i, [1.0 + 0.01 * i, 0.0, 0.0]) for i in range(10)]
+            + [(100 + i, [0.0, 1.0 + 0.01 * i, 0.0]) for i in range(10)]
+            + [(200 + i, [0.0, 0.0, 1.0 + 0.01 * i]) for i in range(10)])
+    emb = spark.createDataFrame(rows, "vec_id: int, embedding: array<float>")
+    assigned, centroids = ivf_build(emb, n_lists=3, seed=1)
+    assert len(centroids) == 3 and len(centroids[0]) == 3
+    # every vector got a list; the three orthogonal groups separate
+    lists = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
+    assert len({lists[0], lists[100], lists[200]}) == 3
+    q = [0.0, 1.0, 0.05]
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=3).collect()]
+    approx = [r["vec_id"]
+              for r in ivf_probe(assigned, centroids, q, k=3,
+                                 nprobe=1).collect()]
+    assert approx == exact
+
+
 def test_textstats(spark):
     from metasra_pipeline_spark.functions.textstats import (
         lang_id,
