@@ -87,6 +87,13 @@ def blocking_keys(profiles: DataFrame, ngram: int = 4,
         keys = tok_keys.unionByName(gram_keys).distinct()
     else:
         keys = tok_keys.distinct()
+    # exact-profile hash key: guarantees identical-profile pairs carry
+    # ≥2 shared keys (this one + any token key), so the meta-blocking
+    # min_shared filter in candidate_pairs can never drop an exact
+    # duplicate pair
+    prof_keys = profiles.select(
+        "doc_id", F.concat(F.lit("p:"), F.xxhash64("profile")).alias("key"))
+    keys = keys.unionByName(prof_keys)
     sizes = keys.groupBy("key").agg(F.countDistinct("doc_id").alias("n_docs"))
     hot = sizes.where(F.col("n_docs") > max_block)
     kept = keys.join(hot.select("key"), on="key", how="left_anti")
@@ -101,16 +108,30 @@ _PAIR_SCHEMA = T.StructType([
 ])
 
 
-def candidate_pairs(keys: DataFrame) -> DataFrame:
+def candidate_pairs(keys: DataFrame, min_shared: int = 2) -> DataFrame:
     """Self-join on blocking key; doc_a < doc_b dedups orientation.
-    AQE skew-join handles residual hot keys."""
+    AQE skew-join handles residual hot keys.
+
+    Meta-blocking (common-block scheme): a pair must co-occur in
+    ``min_shared`` blocks to become a candidate.  True near-duplicates
+    share many token/char-n-gram keys (and exact duplicates always
+    share the profile-hash key + a token key), while the spurious bulk
+    of the candidate set shares exactly one mid-frequency key — the
+    same groupBy that dedups pair orientation counts shared keys for
+    free, so the prune costs nothing and cuts the downstream
+    profile-join + scoring volume severalfold."""
     a = keys.alias("a")
     b = keys.alias("b")
-    return (a.join(b, on="key")
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    pairs = (a.join(b, on="key")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b")))
+    if min_shared <= 1:
+        return pairs.distinct()
+    return (pairs.groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared)
+            .drop("n_shared"))
 
 
 def token_idf(profiles: DataFrame, min_df: int = 5,
