@@ -236,6 +236,41 @@ def _q20_ivf_topk(spark, sf):
     return SS.ivf_topk(emb, q, query_label=lbl, k=5)
 
 
+_LSH_BITS = 4
+_LSH_RADIUS = 2
+_LSH_DIM = 64  # embeddings table dim (TESTDATA.md), all SFs
+
+
+def _lsh_list_id_sql(col: str) -> str:
+    """DuckDB expression computing the SAME bucket id as
+    simsearch.lsh_ivf_assign — identical seeded hyperplane literals,
+    identical left-to-right double dot product."""
+    from metasra_pipeline_spark.functions.simsearch import lsh_planes
+    parts = []
+    for j, p in enumerate(lsh_planes(_LSH_BITS, _LSH_DIM)):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        parts.append(f"(CASE WHEN list_dot_product(CAST({col} AS "
+                     f"DOUBLE[]), {lit}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _q36_ivf_probe(spark, sf):
+    """IVF ANN with a DETERMINISTIC coarse quantizer: multi-probe LSH
+    (lsh_ivf_assign/lsh_ivf_probe — signed random projections, pure
+    per-row arithmetic, bit-reproducible on any cluster layout; the
+    k-means variant ivf_build/ivf_probe is pytest-verified with a
+    tolerance recall test instead, because distributed k-means is not
+    FP-combine-order deterministic).  The oracle re-implements the SAME
+    index independently in DuckDB SQL (same seeded hyperplane literals)
+    — a hash-exact dual-implementation check of bucketing + multi-probe
+    schedule + within-bucket ranking; recall vs brute force is asserted
+    separately in tests/test_dedup_simsearch.py."""
+    q, _ = _query_vec(spark, sf)
+    emb = _t(spark, sf, "embeddings").where("vec_id != 0")
+    assigned, planes = SS.lsh_ivf_assign(emb, n_bits=_LSH_BITS)
+    return SS.lsh_ivf_probe(assigned, planes, q, k=5, radius=_LSH_RADIUS)
+
+
 def _q21_knn_per_label(spark, sf):
     emb = _t(spark, sf, "embeddings").where("label <= 2")
     return SS.knn_join_per_label(emb, k=2)
@@ -492,7 +527,10 @@ def _q91_mapping_pipeline(spark, sf):
         ("g4", [("cell line", "MDA-MB-231"), ("passage", "3")]),
     ])
     res = run_mapping_pipeline(spark, docs, ref)
-    return res.mapped_terms
+    # The driver sort-canonicalizes every column with pandas; an
+    # array<string> column is unhashable there, so flatten mapping_path.
+    return res.mapped_terms.withColumn(
+        "mapping_path", F.concat_ws("→", F.col("mapping_path")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -532,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_subgraph_slice": _q33_subgraph_slice,
         "q34_cellosaurus_synonyms": _q34_cellosaurus_synonyms,
         "q35_atcc_filter": _q35_atcc_filter,
+        "q36_ivf_probe": _q36_ivf_probe,
         "q90_er_resolve": _q90_er_resolve,
         "q91_mapping_pipeline": _q91_mapping_pipeline,
     }
@@ -938,4 +977,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source AS key, lang AS value FROM documents
             WHERE source NOT IN ({_ATCC_KEYS_SQL})
               AND lang NOT IN ({_ATCC_VALS_SQL})""",
+        # independent DuckDB re-implementation of the deterministic
+        # multi-probe LSH IVF (same seeded hyperplanes): bucket ids,
+        # Hamming-radius probe schedule, and within-bucket ranking must
+        # all hash-match the Spark implementation
+        "q36_ivf_probe": f"""
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id != 0
+              AND bit_count(CAST(xor(
+                    {_lsh_list_id_sql('e.embedding')},
+                    {_lsh_list_id_sql('q.embedding')}) AS BIGINT))
+                  <= {_LSH_RADIUS}
+            ORDER BY cosine DESC, e.vec_id LIMIT 5""",
     }

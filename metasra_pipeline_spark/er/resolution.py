@@ -87,17 +87,37 @@ def blocking_keys(profiles: DataFrame, ngram: int = 4,
         keys = tok_keys.unionByName(gram_keys).distinct()
     else:
         keys = tok_keys.distinct()
-    # exact-profile hash key: guarantees identical-profile pairs carry
-    # ≥2 shared keys (this one + any token key), so the meta-blocking
-    # min_shared filter in candidate_pairs can never drop an exact
-    # duplicate pair
-    prof_keys = profiles.select(
-        "doc_id", F.concat(F.lit("p:"), F.xxhash64("profile")).alias("key"))
-    keys = keys.unionByName(prof_keys)
+    # NOTE: exact duplicates are NOT entrusted to blocking at all —
+    # exact_duplicate_edges() links identical profiles directly (O(n)
+    # star edges per dup group, immune to both the hot-key cap and the
+    # meta-blocking min_shared prune).  Blocking only has to recall
+    # non-identical near-duplicates.
     sizes = keys.groupBy("key").agg(F.countDistinct("doc_id").alias("n_docs"))
     hot = sizes.where(F.col("n_docs") > max_block)
     kept = keys.join(hot.select("key"), on="key", how="left_anti")
     return kept, hot
+
+
+def exact_duplicate_edges(profiles: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, score=1.0) star edges linking every doc whose
+    normalized profile is byte-identical to the group's min doc_id.
+
+    Exact duplicates are the one pair class where blocking recall must
+    be PERFECT (the whole point of dedup), yet they are exactly where
+    blocking degrades: dup-heavy keys trip the hot-key cap, and a
+    profile of all-short/stopword tokens produces no token key at all.
+    A direct groupBy(profile) star sidesteps both — one shuffle, O(n)
+    edges per duplicate group (vs O(n²) pairwise), and connected
+    components makes the group transitive for free."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("profile")
+    return (profiles
+            .select("doc_id", "profile",
+                    F.min("doc_id").over(w).alias("rep"))
+            .where(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                    F.lit(1.0).alias("score")))
 
 
 # ------------------------------------------------------------------ 3
@@ -114,12 +134,17 @@ def candidate_pairs(keys: DataFrame, min_shared: int = 2) -> DataFrame:
 
     Meta-blocking (common-block scheme): a pair must co-occur in
     ``min_shared`` blocks to become a candidate.  True near-duplicates
-    share many token/char-n-gram keys (and exact duplicates always
-    share the profile-hash key + a token key), while the spurious bulk
-    of the candidate set shares exactly one mid-frequency key — the
-    same groupBy that dedups pair orientation counts shared keys for
-    free, so the prune costs nothing and cuts the downstream
-    profile-join + scoring volume severalfold."""
+    share many token/char-n-gram keys, while the spurious bulk of the
+    candidate set shares exactly one mid-frequency key — the same
+    groupBy that dedups pair orientation counts shared keys for free,
+    so the prune costs nothing and cuts the downstream profile-join +
+    scoring volume severalfold.
+
+    Known recall tradeoff (min_shared=2): near-dups whose ONLY
+    distinctive overlap is a single short token (<6 chars, so it yields
+    no char-n-gram keys) share one block and are pruned.  Exact
+    duplicates are unaffected — they never rely on blocking (see
+    exact_duplicate_edges)."""
     a = keys.alias("a")
     b = keys.alias("b")
     pairs = (a.join(b, on="key")
@@ -154,6 +179,45 @@ def token_idf(profiles: DataFrame, min_df: int = 5,
             default_idf)
 
 
+def augment_profiles(profiles: DataFrame,
+                     idf_df: DataFrame | None = None,
+                     default_idf: float = 10.0) -> DataFrame:
+    """profiles + per-doc scoring structures as NATIVE columns:
+    ``tok_w`` map<token,idf-weight>, ``wsum`` Σweights, ``first_chars``
+    (distinct first chars of alpha tokens), ``digit_toks``.
+
+    These are exactly the memoized per-doc sets the Python kernel used
+    to build per batch — precomputing them once per doc JVM-side lets
+    the upper-bound rejection run as whole-plan native expressions.
+    One explode + broadcast-idf join (narrow) + a doc_id groupBy that
+    reuses profiles' existing doc_id distribution."""
+    toks = profiles.select("doc_id", F.explode("tokens").alias("tok"))
+    if idf_df is not None:
+        toks = (toks.join(F.broadcast(idf_df), on="tok", how="left")
+                .withColumn("w", F.coalesce("idf", F.lit(default_idf)))
+                .drop("idf"))
+    else:
+        toks = toks.withColumn("w", F.lit(1.0))
+    agg = (toks.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("tok", "w"))).alias("tok_w"),
+        F.sum("w").alias("wsum"),
+        F.array_sort(F.collect_set(
+            F.when(~F.col("tok").rlike("[0-9]"),
+                   F.substring("tok", 1, 1)))).alias("first_chars"),
+        F.array_sort(F.collect_set(
+            F.when(F.col("tok").rlike("[0-9]"),
+                   F.col("tok")))).alias("digit_toks")))
+    return profiles.join(agg, on="doc_id")
+
+
+def _wsum_expr(mapcol: str, arr: str, default_idf: float) -> str:
+    """SQL: Σ over ``arr`` of the idf weight from ``mapcol``."""
+    return (f"aggregate({arr}, cast(0 as double), (acc, t) -> "
+            f"acc + coalesce(element_at({mapcol}, t), "
+            f"cast({default_idf} as double)))")
+
+
 def score_pairs(pairs: DataFrame, profiles: DataFrame,
                 idf: dict[str, float] | None = None,
                 default_idf: float = 10.0,
@@ -168,15 +232,45 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
     sit far below any plausible match threshold and dominate the
     candidate set — pruning them JVM-side keeps the Python kernel off
     the hot path.
+
+    When ``reject_below`` is set, a sound NATIVE upper bound on the
+    kernel score (higher-order functions over precomputed per-doc
+    weight maps — see augment_profiles) is attached JVM-side; rows
+    below the bound skip per-row Python entirely (a vectorized numpy
+    mask inside the same Arrow batch) and report
+    ``score = upper_bound - 0.2``.  NOTE: that reported value is an
+    UPPER BOUND on the pair's true partial score, not the true score —
+    it is guaranteed < reject_below, so thresholding the result at
+    ``>= reject_below`` is exact, but evaluating the returned frame at
+    any LOWER threshold would misclassify these rows.
     """
+    spark = pairs.sparkSession
+    aug = reject_below is not None
+    prof = profiles
+    a_extra, b_extra = [], []
+    if aug:
+        idf_df = None
+        if idf:
+            idf_df = spark.createDataFrame(
+                [(k, float(v)) for k, v in idf.items()],
+                "tok string, idf double")
+        prof = augment_profiles(profiles, idf_df, default_idf)
+        a_extra = [F.col("tok_w").alias("mw_a"), F.col("wsum").alias("wsum_a"),
+                   F.col("first_chars").alias("fc_a"),
+                   F.col("digit_toks").alias("dg_a")]
+        b_extra = [F.col("tok_w").alias("mw_b"), F.col("wsum").alias("wsum_b"),
+                   F.col("first_chars").alias("fc_b"),
+                   F.col("digit_toks").alias("dg_b")]
     enriched = (pairs
-                .join(profiles.select(F.col("doc_id").alias("doc_a"),
-                                      F.col("profile").alias("prof_a"),
-                                      F.col("tokens").alias("toks_a")),
+                .join(prof.select(F.col("doc_id").alias("doc_a"),
+                                  F.col("profile").alias("prof_a"),
+                                  F.col("tokens").alias("toks_a"),
+                                  *a_extra),
                       on="doc_a")
-                .join(profiles.select(F.col("doc_id").alias("doc_b"),
-                                      F.col("profile").alias("prof_b"),
-                                      F.col("tokens").alias("toks_b")),
+                .join(prof.select(F.col("doc_id").alias("doc_b"),
+                                  F.col("profile").alias("prof_b"),
+                                  F.col("tokens").alias("toks_b"),
+                                  *b_extra),
                       on="doc_b"))
     if prefilter_jaccard > 0:
         j0 = (F.size(F.array_intersect("toks_a", "toks_b"))
@@ -196,6 +290,33 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
         "lr", F.when(maxlen == 0, F.lit(1.0)).otherwise(
             1.0 - F.levenshtein("prof_a", "prof_b") / maxlen))
 
+    if aug:
+        # Sound upper bound on the kernel score, all native set/HOF ops:
+        # exact tokens give full credit; a non-shared alpha token can
+        # earn at most w(t) and only when the other side has a token
+        # with the same first char (the kernel's own candidate rule);
+        # digit tokens earn only exact credit (mutually-exclusive digit
+        # tokens additionally inflate the denominator); JW ≤ 1.
+        d = default_idf
+        alpha_near = ("filter(array_except(toks_{x}, toks_{y}), t -> "
+                      "NOT (t RLIKE '[0-9]') "
+                      "AND array_contains(fc_{y}, substring(t, 1, 1)))")
+        num_ub = (
+            f"2 * {_wsum_expr('mw_a', 'array_intersect(toks_a, toks_b)', d)}"
+            f" + {_wsum_expr('mw_a', alpha_near.format(x='a', y='b'), d)}"
+            f" + {_wsum_expr('mw_b', alpha_near.format(x='b', y='a'), d)}")
+        den = (
+            "wsum_a + wsum_b + IF("
+            "size(array_except(dg_a, toks_b)) > 0 "
+            "AND size(array_except(dg_b, toks_a)) > 0, "
+            f"{_wsum_expr('mw_a', 'array_except(dg_a, toks_b)', d)}"
+            f" + {_wsum_expr('mw_b', 'array_except(dg_b, toks_a)', d)}, "
+            "cast(0 as double))")
+        enriched = enriched.withColumn(
+            "upper", F.expr(
+                f"0.65 * IF(({den}) = 0, cast(1.0 as double), "
+                f"({num_ub}) / ({den})) + 0.15 * lr + 0.2"))
+
     from ..functions.similarity import (
         ID_CONFLICT_CAP,
         id_conflict,
@@ -213,72 +334,29 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idf_local = bc_idf.value if bc_idf is not None else None
-        if idf_local is not None:
-            get = idf_local.get
-
-            def w(t):
-                return get(t, default_idf)
-        else:
-            def w(t):
-                return 1.0
-
-        # per-DOC structures are memoized across the batch: a doc appears
-        # in many candidate pairs, and set/bucket construction was the
-        # bulk of the per-pair Python cost
-        cache: dict = {}
-
-        def doc_data(doc_id, toks):
-            d = cache.get(doc_id)
-            if d is None:
-                s = set(toks)
-                wsum = sum(w(t) for t in s)
-                first = set()
-                digits = set()
-                for t in s:
-                    if any(c.isdigit() for c in t):
-                        digits.add(t)
-                    else:
-                        first.add(t[0])
-                d = (s, wsum, first, digits)
-                cache[doc_id] = d
-            return d
+        import numpy as np
 
         for pdf in batches:
-            scores = []
-            for da, db, pa, pb, ta, tb, lr in zip(
-                    pdf["doc_a"], pdf["doc_b"], pdf["prof_a"], pdf["prof_b"],
-                    pdf["toks_a"], pdf["toks_b"], pdf["lr"]):
-                sa, wa, fa, dig_a = doc_data(da, ta)
-                sb, wb, fb, dig_b = doc_data(db, tb)
-                if rb is not None:
-                    # sound upper bound on the kernel score, all set ops:
-                    # exact tokens give full credit; a non-shared alpha
-                    # token can earn at most w(t) and only when the other
-                    # side has a token with the same first char (the
-                    # kernel's own candidate rule); digit tokens earn
-                    # only exact credit; JW ≤ 1.  Pairs whose bound sits
-                    # below the decision threshold skip the expensive
-                    # soft-TFIDF/JW path entirely.
-                    num_ub = 0.0
-                    den = wa + wb
-                    for t in sa:
-                        if t in sb:
-                            num_ub += 2 * w(t)
-                        elif t not in dig_a and t[0] in fb:
-                            num_ub += w(t)
-                    for t in sb:
-                        if t not in sa and t not in dig_b and t[0] in fa:
-                            num_ub += w(t)
-                    conf_a = dig_a - sb
-                    conf_b = dig_b - sa
-                    if conf_a and conf_b:
-                        den += sum(w(t) for t in conf_a) \
-                            + sum(w(t) for t in conf_b)
-                    upper = 0.65 * (num_ub / den if den else 1.0) \
-                        + 0.15 * lr + 0.2
-                    if upper < rb:
-                        scores.append(upper - 0.2)  # partial, sans JW cap
-                        continue
+            n = len(pdf)
+            if rb is not None:
+                # the native upper bound already ran JVM-side: rows
+                # below the decision threshold skip per-row Python
+                # entirely (vectorized mask); their reported score is
+                # the bound minus the JW cap (an UPPER bound on the
+                # true partial score — documented in score_pairs).
+                ub = pdf["upper"].to_numpy(dtype=float)
+                scores = ub - 0.2
+                todo = np.nonzero(ub >= rb)[0]
+            else:
+                scores = np.zeros(n, dtype=float)
+                todo = np.arange(n)
+            pa_v = pdf["prof_a"].to_numpy()
+            pb_v = pdf["prof_b"].to_numpy()
+            ta_v = pdf["toks_a"].to_numpy()
+            tb_v = pdf["toks_b"].to_numpy()
+            lr_v = pdf["lr"].to_numpy(dtype=float)
+            for i in todo:
+                ta, tb, lr = ta_v[i], tb_v[i], lr_v[i]
                 if idf_local is None:
                     from ..functions.similarity import token_set_jaccard
                     jac = token_set_jaccard(ta, tb)
@@ -291,15 +369,19 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
                 if partial + 0.2 < 0.60:
                     score = partial
                 else:
-                    score = partial + 0.2 * jaro_winkler(pa, pb)
+                    score = partial + 0.2 * jaro_winkler(pa_v[i], pb_v[i])
                     if score > ID_CONFLICT_CAP and id_conflict(ta, tb):
                         score = ID_CONFLICT_CAP
-                scores.append(score)
+                scores[i] = score
             yield pd.DataFrame({"doc_a": pdf["doc_a"],
                                 "doc_b": pdf["doc_b"],
                                 "score": scores})
 
-    return enriched.mapInPandas(score_batches, schema=_PAIR_SCHEMA)
+    cols = ["doc_a", "doc_b", "prof_a", "prof_b", "toks_a", "toks_b", "lr"]
+    if aug:
+        cols.append("upper")
+    return (enriched.select(*cols)
+            .mapInPandas(score_batches, schema=_PAIR_SCHEMA))
 
 
 # ------------------------------------------------------------------ 4
@@ -389,6 +471,11 @@ def resolve_entities(spark: SparkSession, documents: DataFrame,
     pairs = candidate_pairs(keys)
     scored = score_pairs(pairs, profiles, idf=idf, default_idf=default_idf,
                          reject_below=threshold)
+    # identical-profile docs link directly (score 1.0 star edges) —
+    # perfect dedup recall independent of blocking caps/prunes; a pair
+    # may appear in both frames (CC dedups edges; pairwise_f1 takes
+    # max score per pair)
+    scored = scored.unionByName(exact_duplicate_edges(profiles))
     if checkpoint:
         scored = scored.localCheckpoint(eager=True)
     edges = scored.where(F.col("score") >= threshold)
@@ -407,6 +494,10 @@ def pairwise_f1(scored_pairs: DataFrame, truth: DataFrame,
                        F.col("entity_id").alias("ent_a"))
     t_b = truth.select(F.col("doc_id").alias("doc_b"),
                        F.col("entity_id").alias("ent_b"))
+    # a pair may be present twice (candidate-scored + exact-dup star
+    # edge) — max per pair keeps the eval one-row-per-pair
+    scored_pairs = (scored_pairs.groupBy("doc_a", "doc_b")
+                    .agg(F.max("score").alias("score")))
     j = (scored_pairs.join(t_a, on="doc_a").join(t_b, on="doc_b")
          .select((F.col("score") >= threshold).alias("pred"),
                  (F.col("ent_a") == F.col("ent_b")).alias("actual")))

@@ -118,6 +118,65 @@ def ivf_probe(assigned: DataFrame, centroids: list[list[float]],
             .limit(k))
 
 
+def lsh_planes(n_bits: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes — the shared deterministic source for
+    lsh_ivf_assign AND any independent re-implementation (e.g. a SQL
+    oracle embedding the same literals)."""
+    import random
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)]
+            for _ in range(n_bits)]
+
+
+def lsh_ivf_assign(embeddings: DataFrame, n_bits: int = 4, seed: int = 7,
+                   vec_col: str = "embedding") -> tuple[DataFrame, list]:
+    """Deterministic LSH coarse quantizer (the IVF scale path whose
+    assignment is REPRODUCIBLE bit-for-bit): ``n_bits`` signed random
+    projections (hyperplanes from a seeded PRNG, shipped as literal
+    arrays) → ``list_id`` ∈ [0, 2^n_bits).
+
+    Unlike an iteratively-trained k-means quantizer (ivf_build), the
+    assignment is pure per-row arithmetic — no distributed aggregation
+    whose floating-point combine order could flip a centroid — so the
+    same input always lands in the same list on any cluster layout.
+    Returns (assigned, hyperplanes)."""
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0]) if first else 0
+    planes = lsh_planes(n_bits, dim, seed)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    lid = F.lit(0)
+    for j, p in enumerate(planes):
+        pa = F.array(*[F.lit(float(x)) for x in p])
+        bit = (_dot(vec_d, pa) >= 0).cast("int")
+        lid = lid + bit * (1 << j)
+    return embeddings.withColumn("list_id", lid), planes
+
+
+def lsh_ivf_probe(assigned: DataFrame, planes: list,
+                  query_vec: list[float], k: int = 5, radius: int = 1,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  round_to: int = 4) -> DataFrame:
+    """Multi-probe over an ``lsh_ivf_assign`` index: scan the query's
+    bucket plus every bucket within Hamming distance ``radius`` (the
+    standard multi-probe LSH schedule), exact top-k within.  With
+    list-partitioned storage the ``isin`` filter partition-prunes."""
+    n_bits = len(planes)
+    qbits = [int(sum(x * y for x, y in zip(query_vec, p)) >= 0)
+             for p in planes]
+    qid = sum(b << j for j, b in enumerate(qbits))
+    probe_lists = [lid for lid in range(1 << n_bits)
+                   if bin(lid ^ qid).count("1") <= radius]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (assigned
+            .where(F.col("list_id").isin(probe_lists))
+            .select(F.col(id_col),
+                    F.round(cosine_similarity_col(vec_d, q), round_to)
+                    .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.col(id_col))
+            .limit(k))
+
+
 def knn_join_per_label(embeddings: DataFrame, k: int = 3,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        label_col: str = "label",

@@ -130,9 +130,12 @@ def term_provenance(final_matches: DataFrame, inf_edges: DataFrame,
                         F.expr("substring(src_id, 4)").alias("term_id"),
                         "dst_id", "itype").distinct())
     frontier = prov
+    # rv_edges participate at EVERY depth: a property term reachable only
+    # via other inference hops must still hand its provenance to terms it
+    # implies through a real value (depth-1-only was a silent NULL source)
+    all_edges = term_edges.unionByName(rv_edges)
     for d in range(1, max_depth + 1):
-        edges = term_edges if d > 1 else term_edges.unionByName(rv_edges)
-        frontier = (frontier.join(edges, on=["doc_id", "term_id"])
+        frontier = (frontier.join(all_edges, on=["doc_id", "term_id"])
                     .select("doc_id", F.col("dst_id").alias("term_id"),
                             "orig_key", "orig_val",
                             F.lit(d).alias("depth"), "key_start", "start",

@@ -155,7 +155,7 @@ def extract_real_values(kv: DataFrame, tok: DataFrame, matches: DataFrame,
     # (countDistinct is not a window function)
     one_prop = (props.groupBy("doc_id", "key_start", "val_start", "val_end")
                 .agg(F.countDistinct("property_id").alias("n_props"),
-                     F.first("property_id").alias("property_id"))
+                     F.min("property_id").alias("property_id"))
                 .where(F.col("n_props") == 1).drop("n_props"))
 
     val_toks = (one_prop.join(tok, on="doc_id")
@@ -176,7 +176,7 @@ def extract_real_values(kv: DataFrame, tok: DataFrame, matches: DataFrame,
                  .distinct())
     unit_agg = (val_units.groupBy("doc_id", "key_start")
                 .agg(F.countDistinct("unit_term").alias("n_units"),
-                     F.first("unit_term").alias("the_unit")))
+                     F.min("unit_term").alias("the_unit")))
 
     out = (numeric.join(unit_agg, on=["doc_id", "key_start"], how="left")
            .join(F.broadcast(ref.default_units), on="property_id", how="left")

@@ -1,0 +1,276 @@
+"""Parity harness over the reference's hand-labeled sample set.
+
+The reference ships 206 hand-annotated SRA samples
+(``analysis_data/term_mapping/test_ontology_mapping_data.json``,
+structure per ``analysis_data/README:1-12``) — the ground truth its own
+development used.  This module runs the Spark mapping pipeline over
+those exact samples and scores the predicted term sets / real-value
+tuples against the annotations.
+
+Lexicon caveat (documented, structural): the reference repo does NOT
+vendor its OBO ontology releases (``map_sra_to_ontology/obo/`` holds
+only a README), so the full synonym sets and the is_a DAG are not
+available here.  The harness synthesizes the lexicon from public data
+that IS present: the annotations' own term_id→name maps plus the
+curated ``metadata/term_to_extra_synonyms.json`` overlay and synonym
+sets (sources.metasra_metadata).  Terms whose annotation was reachable
+only through an OBO-only synonym or an is_a superterm are therefore
+structurally unreachable; :func:`score_parity` reports both the raw
+micro scores and the scores over the reachable subset so the two
+failure classes (engine bug vs missing ontology input) stay separable.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .datagen import docs_from_kv
+from .plans.pipeline import run_mapping_pipeline
+from .refdata import RefData, refdata_from_raw
+from .sources.metasra_metadata import load_metadata_dir, merge_lexicon
+
+LABELED_JSON = ("/root/reference/analysis_data/term_mapping/"
+                "test_ontology_mapping_data.json")
+REF_MD = "/root/reference/map_sra_to_ontology"
+
+#: unfinished annotations in the reference data — excluded from scoring
+_TODO = "TODO"
+
+#: ontologies the reference fuzzy-matches (BK-tree per config p_53)
+FUZZY_ONTS = ["EFO", "UBERON", "CL", "DOID"]
+
+#: public Unit Ontology time/count units — the lexicon slice config 7
+#: provides in the reference (T10 unit expansion + R1 unit matching
+#: depend on these); names are the public UO labels
+UO_TERMS = {
+    "UO:0000010": "second",
+    "UO:0000031": "minute",
+    "UO:0000032": "hour",
+    "UO:0000033": "day",
+    "UO:0000034": "week",
+    "UO:0000035": "month",
+    "UO:0000036": "year",
+    "UO:0000189": "count unit",
+}
+
+
+def load_labeled_samples(path: str = LABELED_JSON) -> list[dict[str, Any]]:
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _doc_id(sample: dict, i: int) -> str:
+    return sample.get("sample_accession") or f"S{i:04d}"
+
+
+def labeled_term_names(samples: list[dict]) -> dict[str, str]:
+    """term_id → name over every annotation (explicit + consequent)."""
+    names: dict[str, str] = {}
+    for s in samples:
+        for tid, name in {**s.get("explicitly_mapped_terms", {}),
+                          **s.get("consequent_terms", {})}.items():
+            if not tid.startswith(_TODO):
+                names.setdefault(tid, name)
+    return names
+
+
+def build_labeled_refdata(spark: SparkSession, samples: list[dict],
+                          metadata_root: str = REF_MD) -> RefData:
+    """RefData = real curated metadata dir + a lexicon synthesized from
+    the annotations' term_id→name maps with the curated synonym
+    overlays applied (ontology_graph.py:193-222 semantics)."""
+    raw = load_metadata_dir(metadata_root)
+    extra = raw.get("term_to_extra_synonyms", {})
+    remove = raw.get("term_to_remove_synonyms", {})
+    names = labeled_term_names(samples)
+    # real-value property terms participate in R1/T10 — their labels
+    # ("age", "passage number", …) come from the curated metadata file,
+    # which keeps {id: label} (sources/metasra_metadata.py note)
+    with open(f"{metadata_root}/metadata/real_valued_properties.json",
+              encoding="utf-8") as f:
+        rvp = json.load(f)
+    ids = rvp["property_term_ids"]
+    if isinstance(ids, dict):
+        for pid, label in ids.items():
+            names.setdefault(pid, label)
+    else:
+        for pid in ids:
+            names.setdefault(pid, pid)
+    for uid, label in UO_TERMS.items():
+        names.setdefault(uid, label)
+    terms = []
+    prefixes: set[str] = set()
+    for tid, name in sorted(names.items()):
+        pfx = tid.split(":")[0]
+        prefixes.add(pfx)
+        rm = set(remove.get(tid, []))
+        syns = [(s, "EXACT") for s in extra.get(tid, [])
+                if s not in rm and s != name]
+        terms.append({"id": tid, "ont": pfx, "name": name, "syns": syns})
+    raw = merge_lexicon(
+        raw, terms=terms, ancestors=[],
+        exact_match_onts=sorted(prefixes),
+        fuzzy_match_onts=FUZZY_ONTS,
+        # UO matches (units) feed R1 but are never output terms
+        mappable_prefixes=sorted(prefixes - {"UO"}))
+    return refdata_from_raw(spark, raw)
+
+
+def samples_to_docs(spark: SparkSession, samples: list[dict]):
+    return docs_from_kv(spark, [
+        (_doc_id(s, i), sorted(s["attributes"].items()))
+        for i, s in enumerate(samples)])
+
+
+def _expected_terms(sample: dict) -> set[str]:
+    return {t for t in {*sample.get("explicitly_mapped_terms", {}),
+                        *sample.get("consequent_terms", {})}
+            if not t.startswith(_TODO)}
+
+
+def _reachable_strings(ref: RefData) -> dict[str, set[str]]:
+    """term_id → lowercased lexicon strings (name + overlay synonyms)."""
+    out: dict[str, set[str]] = {}
+    for t in ref.raw["terms"]:
+        ss = out.setdefault(t["id"], set())
+        ss.add(t["name"].lower())
+        for syn, _ in t["syns"]:
+            ss.add(syn.lower())
+    return out
+
+
+def _prf(tp: int, fp: int, fn: int) -> dict[str, float]:
+    p = tp / (tp + fp) if tp + fp else 1.0
+    r = tp / (tp + fn) if tp + fn else 1.0
+    return {"precision": round(p, 4), "recall": round(r, 4),
+            "f1": round(2 * p * r / (p + r), 4) if p + r else 0.0,
+            "tp": tp, "fp": fp, "fn": fn}
+
+
+SPLIT_DIR = "/root/reference/analysis_data/predict_sample_type"
+
+
+def _split_kv_labels(spark: SparkSession, path: str):
+    with open(path, encoding="utf-8") as f:
+        samples = json.load(f)
+    kv_rows, lab_rows = [], []
+    for i, s in enumerate(samples):
+        did = _doc_id(s, i)
+        lab_rows.append((did, s["sample_type"]))
+        for k, v in sorted(s["attributes"].items()):
+            kv_rows.append((did, str(k), str(v)))
+    kv = spark.createDataFrame(kv_rows, "doc_id string, key string, "
+                                        "value string")
+    labels = spark.createDataFrame(lab_rows, "doc_id string, "
+                                             "sample_type string")
+    return kv, labels
+
+
+def classifier_split_accuracy(spark: SparkSession,
+                              split_dir: str = SPLIT_DIR,
+                              n_features: int = 4096) -> dict[str, Any]:
+    """Train C1–C6 on the reference's published train split (705
+    samples, ``analysis_data/README:14-24``), score its test split (178
+    samples) — the measurement the reference's paper reports for its
+    one-vs-rest classifier.  Returns overall accuracy + per-class
+    recall."""
+    from .functions.classifier import (
+        predict_sample_type,
+        train_sample_type_model,
+    )
+    import os
+    kv_tr, lab_tr = _split_kv_labels(
+        spark, os.path.join(split_dir, "train_data.json"))
+    kv_te, lab_te = _split_kv_labels(
+        spark, os.path.join(split_dir, "test_data.json"))
+    model, label_list = train_sample_type_model(kv_tr, lab_tr,
+                                                n_features=n_features)
+    pred = (predict_sample_type(model, label_list, kv_te)
+            .withColumnRenamed("sample_type", "predicted_type"))
+    j = (pred.join(lab_te, on="doc_id")
+         .select("doc_id", "sample_type", "predicted_type").collect())
+    n = len(j)
+    correct = sum(r["sample_type"] == r["predicted_type"] for r in j)
+    per_class: dict[str, list[int]] = {}
+    for r in j:
+        c = per_class.setdefault(r["sample_type"], [0, 0])
+        c[1] += 1
+        c[0] += r["sample_type"] == r["predicted_type"]
+    return {
+        "n_train": lab_tr.count(), "n_test": n,
+        "accuracy": round(correct / n, 4),
+        "per_class_recall": {k: round(v[0] / v[1], 4)
+                             for k, v in sorted(per_class.items())},
+    }
+
+
+def score_parity(spark: SparkSession,
+                 samples: list[dict] | None = None,
+                 metadata_root: str = REF_MD,
+                 exclude_real_value_properties: bool = True
+                 ) -> dict[str, Any]:
+    """Run the pipeline over the labeled samples → parity metrics.
+
+    Returns micro P/R/F1 over (doc, term) pairs — raw and restricted to
+    the reachable subset (terms whose name/overlay-synonym text appears
+    in the sample's attributes; see module docstring) — plus doc-level
+    exact-set accuracy and real-value tuple P/R/F1.
+    """
+    samples = samples if samples is not None else load_labeled_samples()
+    ref = build_labeled_refdata(spark, samples, metadata_root)
+    docs = samples_to_docs(spark, samples)
+    res = run_mapping_pipeline(
+        spark, docs, ref,
+        exclude_real_value_properties=exclude_real_value_properties)
+
+    pred: dict[str, set[str]] = {}
+    for r in res.mapped_terms.select("doc_id", "term_id").collect():
+        pred.setdefault(r["doc_id"], set()).add(r["term_id"])
+    pred_rv: dict[str, set[tuple]] = {}
+    for r in res.real_values.select("doc_id", "property_id", "value",
+                                    "unit_id").collect():
+        pred_rv.setdefault(r["doc_id"], set()).add(
+            (r["property_id"], float(r["value"]), r["unit_id"]))
+
+    reach = _reachable_strings(ref)
+    tp = fp = fn = 0
+    rtp = rfp = rfn = 0
+    rv_tp = rv_fp = rv_fn = 0
+    exact_docs = 0
+    per_doc = []
+    for i, s in enumerate(samples):
+        did = _doc_id(s, i)
+        exp = _expected_terms(s)
+        got = pred.get(did, set())
+        attr_text = " | ".join(str(v).lower()
+                               for v in s["attributes"].values())
+        reachable = {t for t in exp
+                     if any(x in attr_text for x in reach.get(t, ()))}
+        tp += len(exp & got)
+        fp += len(got - exp)
+        fn += len(exp - got)
+        rtp += len(reachable & got)
+        rfp += len(got - exp)
+        rfn += len(reachable - got)
+        if exp == got:
+            exact_docs += 1
+        exp_rv = {(p[0], float(p[1]), p[2])
+                  for p in s.get("real_value_properties", [])}
+        got_rv = pred_rv.get(did, set())
+        rv_tp += len(exp_rv & got_rv)
+        rv_fp += len(got_rv - exp_rv)
+        rv_fn += len(exp_rv - got_rv)
+        per_doc.append({"doc_id": did,
+                        "missing": sorted(exp - got),
+                        "spurious": sorted(got - exp)})
+    return {
+        "n_samples": len(samples),
+        "terms_micro": _prf(tp, fp, fn),
+        "terms_reachable_micro": _prf(rtp, rfp, rfn),
+        "doc_exact_fraction": round(exact_docs / len(samples), 4),
+        "real_values_micro": _prf(rv_tp, rv_fp, rv_fn),
+        "per_doc": per_doc,
+    }

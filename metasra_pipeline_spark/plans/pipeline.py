@@ -67,6 +67,7 @@ def cell_line_term_ids(ref: RefData) -> DataFrame:
 def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
                          ref: RefData, checkpoint: bool = True,
                          with_ancestors: bool = False,
+                         exclude_real_value_properties: bool = True,
                          snap: Snapshotter | None = None) -> PipelineResult:
     if snap is None:
         snap = LocalSnapshotter() if checkpoint else NoSnapshotter()
@@ -169,8 +170,10 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
     m = snap.cut(m, "m_final")
     inf = snap.cut(inf, "inf_edges")
 
-    mapped = C.consolidate(m, inf, rv_all, ref,
-                           with_ancestors=with_ancestors, kv=kv, snap=snap)
+    mapped = C.consolidate(
+        m, inf, rv_all, ref, with_ancestors=with_ancestors,
+        exclude_real_value_properties=exclude_real_value_properties,
+        kv=kv, snap=snap)
     return PipelineResult(kv=kv, tokens=tok, matches=m, inf_edges=inf,
                           real_values=rv_all, mapped_terms=mapped)
 

@@ -40,11 +40,40 @@ P53_CONFIGS: dict[str, dict] = {
                      "EFO:0000483", "EFO:0000635", "EFO:0000324",
                      "EFO:0002694", "EFO:0000399", "EFO:0001799",
                      "EFO_PATO:0000047"],
-           "exclude_terms": ["EFO:0000324", "EFO:0000399", "EFO:0004176",
-                             "EFO:0000562"]},
+           # the FULL exclude list from ontology_configurations.json
+           # (round-2 encoded only a 4-term subset)
+           "exclude_terms": [
+               "EFO:0000324", "EFO:0000399", "EFO:0000436", "EFO:0000562",
+               "EFO:0000635", "EFO:0000750", "EFO:0000808", "EFO:0000884",
+               "EFO:0000950", "EFO:0001799", "EFO:0002770", "EFO:0002906",
+               "EFO:0003143", "EFO:0003477", "EFO:0003642", "EFO:0004176",
+               "EFO:0004181", "EFO:0004182", "EFO:0005316",
+               "EFO_PATO:0000047", "EFO_PATO:0000460", "EFO_PATO:0000461",
+               "EFO_UBERON:0000467"]},
     "18": {"id_spaces": ["CVCL"], "roots": None,
            "exclude_terms": ["CVCL:Z433"]},
 }
+
+
+def load_ontology_configurations(path: str) -> dict[str, dict]:
+    """Parse the reference's public ``ontology_configurations.json``
+    (loader semantics: load_ontology.py:9-31) into the P53_CONFIGS
+    shape, making ALL 19 configurations expressible — not just the nine
+    p_53 uses.  ``exclude_terms``/``subgraph_roots`` are stored as
+    {id: label} dicts in the file; keys iterate as the id list."""
+    import json
+    with open(path, encoding="utf-8") as f:
+        cfgs = json.load(f)
+    out: dict[str, dict] = {}
+    for name, c in cfgs.items():
+        roots = (list(c.get("subgraph_roots", {}))
+                 if c.get("restrict_to_specific_subgraph") else None)
+        out[name] = {
+            "id_spaces": list(c["id_spaces"]),
+            "roots": roots or None,
+            "exclude_terms": list(c.get("exclude_terms", {})),
+        }
+    return out
 
 
 def apply_synonym_overlays(synonyms: DataFrame,

@@ -82,9 +82,9 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _min_merge(results: list[dict]) -> dict:
     """Noise-robust: take the min wall per metric across repetitions."""
     best = dict(results[0])
+    best["queries"] = dict(results[0]["queries"])
     for r in results[1:]:
-        if r["value"] < best["value"]:
-            best = dict(r)
+        best["value"] = min(best["value"], r["value"])
         for q, t in r["queries"].items():
             if t < best["queries"].get(q, float("inf")):
                 best["queries"][q] = t

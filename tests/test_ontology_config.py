@@ -111,3 +111,34 @@ def test_restrict_prunes_dangling(spark):
     # the CL:0000001 → CL:0000000 edge dangles (parent outside) → pruned
     assert {(r["child_id"], r["parent_id"]) for r in out["edges"].collect()} \
         == {("CL:0000002", "CL:0000001")}
+
+
+def test_load_all_19_reference_configurations(spark):
+    """The public ontology_configurations.json parses whole: 19/19
+    configs expressible, the hand-encoded p_53 subset agrees with the
+    file, and a NON-p53 config slices correctly."""
+    import os
+    from metasra_pipeline_spark.sources.ontology_config import (
+        P53_CONFIGS,
+        load_ontology_configurations,
+    )
+    path = "/root/reference/map_sra_to_ontology/ontology_configurations.json"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference configurations file not present")
+    cfgs = load_ontology_configurations(path)
+    assert len(cfgs) == 19
+    # file agrees with the bundled p_53 subset
+    for name, enc in P53_CONFIGS.items():
+        assert set(cfgs[name]["id_spaces"]) == set(enc["id_spaces"]), name
+        assert set(cfgs[name]["exclude_terms"]) == \
+            set(enc["exclude_terms"]), name
+        if enc["roots"]:
+            assert set(cfgs[name]["roots"]) == set(enc["roots"]), name
+    # a non-p53 config ("0": all CL+DOID+UBERON, unrooted) drives the
+    # slicer: CL terms kept, wrong id-space dropped, no root restriction
+    sliced = load_ontology_config(_tables(spark), cfgs["0"])
+    kept = {r["term_id"] for r in sliced["terms"].collect()}
+    assert "XX:0000001" not in kept
+    assert {"CL:0000000", "CL:0000001", "CL:0000002",
+            "CL:0000099"} <= kept  # unrooted → orphan survives
