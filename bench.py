@@ -128,7 +128,18 @@ def main() -> None:
         print(json.dumps(out))
         return
     if run_map:
-        map_docs = (synth_documents(spark, n_map_docs, seed=42)
+        map_docs = synth_documents(spark, n_map_docs, seed=42)
+        # executor-count-emulation sharding (scripts/
+        # executor_scale_bench.py): this process handles the doc_id
+        # residue class REM mod MOD of the SAME global synthesized set
+        # — four 2-core JVMs each taking one class together process
+        # exactly the input one JVM processes unsharded
+        mod = int(os.environ.get("BENCH_DOC_MOD", "0"))
+        if mod > 1:
+            rem = int(os.environ.get("BENCH_DOC_REM", "0"))
+            map_docs = map_docs.where(
+                F.abs(F.hash("doc_id")) % mod == rem)
+        map_docs = (map_docs
                     .select("doc_id", "spans").localCheckpoint(eager=True))
         # run_chunked_pipeline is the production shape (per-chunk jobs,
         # gather_mappings.py:25-41) but each chunk re-pays the fixed

@@ -80,9 +80,24 @@ class LocalSnapshotter(Snapshotter):
     (lazy caused ~2× recompute patterns; see round-1 measurements).
 
     Set ``SNAP_TIMINGS=1`` to print per-cut wall seconds to stderr —
-    the profiling hook behind the scaling work in BENCH/BASELINE.md."""
+    the profiling hook behind the scaling work in BENCH/BASELINE.md.
+
+    ``skip`` (or env ``SNAP_SKIP_CUTS=name1,name2``) names cuts to pass
+    through lazily: each eager cut is a driver-synchronized job, so
+    thin cuts whose subtree is cheap to re-derive cost more in stage
+    barriers than they save — the adaptive policy drops them at large
+    doc counts while keeping the load-bearing cuts (deriv_expand /
+    m_matched / real_values) that bound Catalyst plan growth."""
+
+    def __init__(self, skip: set[str] | None = None):
+        if skip is None:
+            env = os.environ.get("SNAP_SKIP_CUTS", "")
+            skip = {s.strip() for s in env.split(",") if s.strip()}
+        self.skip = skip
 
     def cut(self, df: DataFrame, name: str) -> DataFrame:
+        if name in self.skip:
+            return df
         if os.environ.get("SNAP_TIMINGS") == "1":
             import sys
             t0 = time.time()

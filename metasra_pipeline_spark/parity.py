@@ -110,12 +110,31 @@ def build_labeled_refdata(spark: SparkSession, samples: list[dict],
         syns = [(s, "EXACT") for s in extra.get(tid, [])
                 if s not in rm and s != name]
         terms.append({"id": tid, "ont": pfx, "name": name, "syns": syns})
+    # exclude_terms of BOTH the matching configs (p_53: 1,2,5,7,8,9,18)
+    # and the OUTPUT-side configs run_pipeline.py:41-46 filters mapped
+    # terms through (12 for UBERON, 16 for EFO, 1/2/4) — generic roots
+    # like "tissue"/"organism"/"cell type"/"ethnic group" never reach
+    # the reference's output, so they must not reach ours
+    import os as _os
+    from .sources.ontology_config import (
+        P53_CONFIGS,
+        load_ontology_configurations,
+    )
+    excl_sets = [set(c["exclude_terms"]) for c in P53_CONFIGS.values()]
+    cfg_json = _os.path.join(metadata_root, "ontology_configurations.json")
+    if _os.path.exists(cfg_json):
+        all_cfgs = load_ontology_configurations(cfg_json)
+        for out_cfg in ("12", "16"):
+            if out_cfg in all_cfgs:
+                excl_sets.append(set(all_cfgs[out_cfg]["exclude_terms"]))
+    nonmappable = sorted(set().union(*excl_sets))
     raw = merge_lexicon(
         raw, terms=terms, ancestors=[],
         exact_match_onts=sorted(prefixes),
         fuzzy_match_onts=FUZZY_ONTS,
         # UO matches (units) feed R1 but are never output terms
-        mappable_prefixes=sorted(prefixes - {"UO"}))
+        mappable_prefixes=sorted(prefixes - {"UO"}),
+        nonmappable_terms=nonmappable)
     return refdata_from_raw(spark, raw)
 
 
@@ -170,8 +189,7 @@ def _split_kv_labels(spark: SparkSession, path: str):
 
 
 def classifier_split_accuracy(spark: SparkSession,
-                              split_dir: str = SPLIT_DIR,
-                              n_features: int = 4096) -> dict[str, Any]:
+                              split_dir: str = SPLIT_DIR) -> dict[str, Any]:
     """Train C1–C6 on the reference's published train split (705
     samples, ``analysis_data/README:14-24``), score its test split (178
     samples) — the measurement the reference's paper reports for its
@@ -186,8 +204,7 @@ def classifier_split_accuracy(spark: SparkSession,
         spark, os.path.join(split_dir, "train_data.json"))
     kv_te, lab_te = _split_kv_labels(
         spark, os.path.join(split_dir, "test_data.json"))
-    model, label_list = train_sample_type_model(kv_tr, lab_tr,
-                                                n_features=n_features)
+    model, label_list = train_sample_type_model(kv_tr, lab_tr)
     pred = (predict_sample_type(model, label_list, kv_te)
             .withColumnRenamed("sample_type", "predicted_type"))
     j = (pred.join(lab_te, on="doc_id")

@@ -176,7 +176,10 @@ def main() -> None:
     # at the same time under the FAIR scheduler (BENCH_CONCURRENT=1 in
     # bench.py) — how a production cluster is actually operated; one
     # job's tasks fill the other's stage-barrier drains.
-    reps_c = int(os.environ.get("SCALE_CONCURRENT_REPS", "2"))
+    # min-of-3 on BOTH modes in one session — two reps proved too few
+    # to separate engine signal from hypervisor steal (round-2 verdict:
+    # 0.763 vs 0.668 between two same-harness runs)
+    reps_c = int(os.environ.get("SCALE_CONCURRENT_REPS", "3"))
     c_lo = run_level(lo, map_docs, er_docs, reps=reps_c, concurrent=True)
     c_hi = run_level(hi, map_docs, er_docs, reps=reps_c, concurrent=True)
     tc_lo, tc_hi = c_lo["value"], c_hi["value"]
