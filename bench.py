@@ -55,11 +55,20 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     verbose = os.environ.get("BENCH_VERBOSE", "") == "1"
+    # min-of-R per query IN THE SAME SESSION: the host is an
+    # overcommitted hypervisor (±60% wall variance, steal up to
+    # ~800 s/run recorded in BENCH/ANALYSIS.md), so a single-shot
+    # number is a coin flip; the minimum is the least-stolen estimate
+    reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
 
     def timed(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         if verbose:
             print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
@@ -106,11 +115,15 @@ def main() -> None:
                 .write.format("noop").mode("overwrite").save()
             return time.time() - t0
 
-        t0 = time.time()
-        with ThreadPoolExecutor(2) as ex:
-            f_map, f_er = ex.submit(do_map), ex.submit(do_er)
-            t_map, t_er = f_map.result(), f_er.result()
-        wall = time.time() - t0
+        wall = t_map = t_er = None
+        for _ in range(reps):
+            t0 = time.time()
+            with ThreadPoolExecutor(2) as ex:
+                f_map, f_er = ex.submit(do_map), ex.submit(do_er)
+                r_map, r_er = f_map.result(), f_er.result()
+            r_wall = time.time() - t0
+            if wall is None or r_wall < wall:
+                wall, t_map, t_er = r_wall, r_map, r_er
         timings["map_pipeline"] = round(t_map, 3)
         timings["er_resolve"] = round(t_er, 3)
         out = {
@@ -120,6 +133,7 @@ def main() -> None:
             "queries": timings,
             "sf": sf_dir.rstrip("/").split("sf")[-1],
             "cpus": int(cpus),
+            "reps": reps,
             "concurrent": True,
             "map_docs_per_sec": round(n_map_docs / t_map, 2),
             "er_docs_per_sec": round(n_er_docs / t_er, 2),
@@ -137,8 +151,11 @@ def main() -> None:
         mod = int(os.environ.get("BENCH_DOC_MOD", "0"))
         if mod > 1:
             rem = int(os.environ.get("BENCH_DOC_REM", "0"))
+            # pmod, not abs(hash) % mod: abs(Integer.MIN_VALUE)
+            # overflows negative and would drop that row from every
+            # residue class, breaking the shards-cover-input invariant
             map_docs = map_docs.where(
-                F.abs(F.hash("doc_id")) % mod == rem)
+                F.pmod(F.hash("doc_id"), F.lit(mod)) == F.lit(rem))
         map_docs = (map_docs
                     .select("doc_id", "spans").localCheckpoint(eager=True))
         # run_chunked_pipeline is the production shape (per-chunk jobs,
@@ -148,10 +165,13 @@ def main() -> None:
         # the barrier-drain fill (measured 95s @ C=1 vs 150-197s @ C=4,
         # 30k docs / 8 cores), so the bench defaults to one chunk
         n_chunks = int(os.environ.get("BENCH_MAP_CHUNKS", "1"))
-        t0 = time.time()
-        run_chunked_pipeline(spark, map_docs, ref, n_chunks=n_chunks) \
-            .mapped_terms.write.format("noop").mode("overwrite").save()
-        t_map = time.time() - t0
+        t_map = None
+        for _ in range(reps):
+            t0 = time.time()
+            run_chunked_pipeline(spark, map_docs, ref, n_chunks=n_chunks) \
+                .mapped_terms.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            t_map = dt if t_map is None else min(t_map, dt)
         timings["map_pipeline"] = round(t_map, 3)
         if verbose:
             print(f"# map_pipeline: {t_map:.1f}s", file=sys.stderr,
@@ -161,10 +181,13 @@ def main() -> None:
     if run_er:
         er_docs = (synth_documents(spark, n_er_docs, seed=43)
                    .select("doc_id", "spans").localCheckpoint(eager=True))
-        t0 = time.time()
-        resolve_entities(spark, er_docs)["clusters"] \
-            .write.format("noop").mode("overwrite").save()
-        t_er = time.time() - t0
+        t_er = None
+        for _ in range(reps):
+            t0 = time.time()
+            resolve_entities(spark, er_docs)["clusters"] \
+                .write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            t_er = dt if t_er is None else min(t_er, dt)
         timings["er_resolve"] = round(t_er, 3)
 
     total = round(sum(timings.values()), 3)
@@ -175,6 +198,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cpus": int(cpus),
+        "reps": reps,
         "map_docs_per_sec": round(n_map_docs / t_map, 2) if t_map else None,
         "er_docs_per_sec": round(n_er_docs / t_er, 2) if t_er else None,
     }

@@ -117,7 +117,26 @@ def exact_duplicate_edges(profiles: DataFrame) -> DataFrame:
             .where(F.col("doc_id") != F.col("rep"))
             .select(F.col("rep").alias("doc_a"),
                     F.col("doc_id").alias("doc_b"),
-                    F.lit(1.0).alias("score")))
+                    F.lit(1.0).alias("score"),
+                    F.lit(False).alias("rejected")))
+
+
+def representative_profiles(profiles: DataFrame) -> DataFrame:
+    """One row per DISTINCT profile (the group's min doc_id).
+
+    Dedup-before-ER: identical-profile docs are linked by
+    exact_duplicate_edges star edges, so blocking / candidate pairs /
+    scoring only ever need ONE member per identical-profile group — a
+    non-rep member scores identically to its rep against every other
+    doc, and connected components merges the star.  In dup-heavy
+    corpora (the normal case for a dedup workload) this shrinks the
+    pair volume quadratically for free.  ``tokens`` is determined by
+    ``profile`` (profile = array_join(tokens)), so any group member's
+    tokens are the group's tokens."""
+    return (profiles.groupBy("profile")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.first("tokens").alias("tokens"))
+            .select("doc_id", "tokens", "profile"))
 
 
 # ------------------------------------------------------------------ 3
@@ -125,6 +144,12 @@ _PAIR_SCHEMA = T.StructType([
     T.StructField("doc_a", T.StringType()),
     T.StructField("doc_b", T.StringType()),
     T.StructField("score", T.DoubleType()),
+    # True ⇒ the pair was rejected by the native upper bound WITHOUT
+    # computing its true score; ``score`` is then an upper bound on the
+    # true score (guaranteed < the decision threshold), not the score
+    # itself.  Consumers re-thresholding at a lower cutoff must filter
+    # on this flag instead of trusting ``score``.
+    T.StructField("rejected", T.BooleanType()),
 ])
 
 
@@ -227,10 +252,11 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
                 idf: dict[str, float] | None = None,
                 default_idf: float = 10.0,
                 prefilter_jaccard: float = 0.2,
-                reject_below: float | None = None) -> DataFrame:
-    """(doc_a, doc_b, score) via one mapInPandas pass fusing IDF-weighted
-    token similarity + JW + Levenshtein-ratio (vectorized Arrow
-    batches).
+                reject_below: float | None = None,
+                bound_skip_jaccard: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, score, rejected) via one mapInPandas pass fusing
+    IDF-weighted token similarity + JW + Levenshtein-ratio (vectorized
+    Arrow batches).
 
     A native exact-token Jaccard prefilter runs first (whole-stage
     codegen, no Python): candidate pairs sharing only a template token
@@ -242,12 +268,18 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
     kernel score (higher-order functions over precomputed per-doc
     weight maps — see augment_profiles) is attached JVM-side; rows
     below the bound skip per-row Python entirely (a vectorized numpy
-    mask inside the same Arrow batch) and report
-    ``score = upper_bound - 0.2``.  NOTE: that reported value is an
-    UPPER BOUND on the pair's true partial score, not the true score —
-    it is guaranteed < reject_below, so thresholding the result at
-    ``>= reject_below`` is exact, but evaluating the returned frame at
-    any LOWER threshold would misclassify these rows.
+    mask inside the same Arrow batch), report ``rejected = True``, and
+    carry ``score = upper_bound - 0.2`` — an UPPER BOUND on the pair's
+    true partial score, not the true score.  It is guaranteed
+    < reject_below, so thresholding at ``>= reject_below`` is exact;
+    consumers re-thresholding LOWER must filter on ``rejected``.
+
+    Two per-row short-circuits keep the HOF bound itself off the easy
+    rows (lazy IF branches — the bound expression never evaluates):
+    byte-identical profiles score 1.0 directly, and pairs whose exact
+    unweighted Jaccard ``j0`` already ≥ ``bound_skip_jaccard`` go
+    straight to the kernel — the bound could not reject them, so
+    computing it would be pure overhead.
     """
     spark = pairs.sparkSession
     aug = reject_below is not None
@@ -286,10 +318,11 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
                                   F.col("tokens").alias("toks_b"),
                                   *b_extra),
                       on="doc_b"))
+    enriched = enriched.withColumn(
+        "j0", F.size(F.array_intersect("toks_a", "toks_b"))
+        / F.size(F.array_union("toks_a", "toks_b")))
     if prefilter_jaccard > 0:
-        j0 = (F.size(F.array_intersect("toks_a", "toks_b"))
-              / F.size(F.array_union("toks_a", "toks_b")))
-        enriched = enriched.where(j0 >= prefilter_jaccard)
+        enriched = enriched.where(F.col("j0") >= prefilter_jaccard)
     # CPU-bound stages must be partitioned by cores, not bytes: AQE's
     # byte-advisory coalescing starves per-row compute of parallelism
     # (measured 9 tasks/52 s vs 45 tasks/39 s on this very stage), so
@@ -297,13 +330,10 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
     # levenshtein and the Python scorer — downstream of that exchange.
     sc = pairs.sparkSession.sparkContext
     enriched = enriched.repartition(sc.defaultParallelism * 3)
-    # Levenshtein ratio natively (JVM codegen) — a Python DP over the
-    # ~50-char profiles would dominate the whole ER runtime
-    maxlen = F.greatest(F.length("prof_a"), F.length("prof_b"))
-    enriched = enriched.withColumn(
-        "lr", F.when(maxlen == 0, F.lit(1.0)).otherwise(
-            1.0 - F.levenshtein("prof_a", "prof_b") / maxlen))
 
+    lr_expr = ("IF(greatest(length(prof_a), length(prof_b)) = 0, "
+               "cast(1.0 as double), 1.0 - levenshtein(prof_a, prof_b) "
+               "/ cast(greatest(length(prof_a), length(prof_b)) as double))")
     if aug:
         # Sound upper bound on the kernel score, all native set/HOF ops:
         # exact tokens give full credit; a non-shared alpha token can
@@ -311,6 +341,13 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
         # with the same first char (the kernel's own candidate rule);
         # digit tokens earn only exact credit (mutually-exclusive digit
         # tokens additionally inflate the denominator); JW ≤ 1.
+        # Lazy IF: identical profiles and already-decisive-j0 rows never
+        # evaluate the HOF bound at all (2.0 = "must run the kernel").
+        # NOTE a two-tier "skip levenshtein when the token-only bound
+        # already rejects" variant was measured WORSE (70 s vs 51 s at
+        # 300k docs): the tier needs the token bound referenced from two
+        # downstream columns and CollapseProject inlines the expensive
+        # HOF aggregate twice — one fused expression wins.
         d = default_idf
         alpha_near = ("filter(array_except(al_{x}, toks_{y}), t -> "
                       "array_contains(fc_{y}, substring(t, 1, 1)))")
@@ -325,10 +362,15 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
             f"{_wsum_expr('mw_a', 'array_except(dg_a, toks_b)', d)}"
             f" + {_wsum_expr('mw_b', 'array_except(dg_b, toks_a)', d)}, "
             "cast(0 as double))")
-        enriched = enriched.withColumn(
-            "upper", F.expr(
-                f"0.65 * IF(({den}) = 0, cast(1.0 as double), "
-                f"({num_ub}) / ({den})) + 0.15 * lr + 0.2"))
+        bound = (f"0.65 * IF(({den}) = 0, cast(1.0 as double), "
+                 f"({num_ub}) / ({den})) + 0.15 * lr + 0.2")
+        enriched = (enriched
+                    .withColumn("lr", F.expr(lr_expr))
+                    .withColumn("upper", F.expr(
+                        f"IF(prof_a = prof_b OR j0 >= {bound_skip_jaccard}, "
+                        f"cast(2.0 as double), {bound})")))
+    else:
+        enriched = enriched.withColumn("lr", F.expr(lr_expr))
 
     from ..functions.similarity import (
         ID_CONFLICT_CAP,
@@ -351,6 +393,9 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
 
         for pdf in batches:
             n = len(pdf)
+            pa_v = pdf["prof_a"].to_numpy()
+            pb_v = pdf["prof_b"].to_numpy()
+            eq = pa_v == pb_v  # identical profiles: score 1.0, no kernel
             if rb is not None:
                 # the native upper bound already ran JVM-side: rows
                 # below the decision threshold skip per-row Python
@@ -358,13 +403,13 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
                 # the bound minus the JW cap (an UPPER bound on the
                 # true partial score — documented in score_pairs).
                 ub = pdf["upper"].to_numpy(dtype=float)
-                scores = ub - 0.2
-                todo = np.nonzero(ub >= rb)[0]
+                scores = np.where(eq, 1.0, ub - 0.2)
+                rejected = (~eq) & (ub < rb)
+                todo = np.nonzero((ub >= rb) & ~eq)[0]
             else:
-                scores = np.zeros(n, dtype=float)
-                todo = np.arange(n)
-            pa_v = pdf["prof_a"].to_numpy()
-            pb_v = pdf["prof_b"].to_numpy()
+                scores = np.where(eq, 1.0, 0.0)
+                rejected = np.zeros(n, dtype=bool)
+                todo = np.nonzero(~eq)[0]
             ta_v = pdf["toks_a"].to_numpy()
             tb_v = pdf["toks_b"].to_numpy()
             lr_v = pdf["lr"].to_numpy(dtype=float)
@@ -388,7 +433,8 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
                 scores[i] = score
             yield pd.DataFrame({"doc_a": pdf["doc_a"],
                                 "doc_b": pdf["doc_b"],
-                                "score": scores})
+                                "score": scores,
+                                "rejected": rejected})
 
     cols = ["doc_a", "doc_b", "prof_a", "prof_b", "toks_a", "toks_b", "lr"]
     if aug:
@@ -403,8 +449,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     """Alternating large-star / small-star CC → (doc_id, cluster_id).
 
     Each round is two self-join+aggregate passes; converges in
-    O(log n) rounds; localCheckpoint per round cuts lineage (swap for
-    reliable checkpoints / Iceberg snapshots on a cluster).
+    O(log n) rounds; a LAZY localCheckpoint per round cuts lineage
+    (swap for reliable checkpoints / Iceberg snapshots on a cluster).
+    Lazy + the convergence-signature ``first()`` means ONE driver-sync
+    job per round — the signature action materializes that round's
+    checkpoint in the same job (was 2 jobs/round before round 4).
     """
     # symmetric edge list (u, v), self-loops implicit via least() below
     e = (edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -412,7 +461,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                                    F.col("doc_a").alias("v")))
          .distinct())
     if checkpoint:
-        e = e.localCheckpoint(eager=True)
+        e = e.localCheckpoint(eager=True)  # input edges: cut upstream lineage once
 
     def min_neighbor(E: DataFrame) -> DataFrame:
         return (E.groupBy("u")
@@ -439,7 +488,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         e = (ss.unionByName(ss.select(F.col("v").alias("u"),
                                       F.col("u").alias("v"))).distinct())
         if checkpoint:
-            e = e.localCheckpoint(eager=True)
+            # lazy: the sig job below materializes the checkpoint AND
+            # computes the convergence signature in one driver sync
+            e = e.localCheckpoint(eager=False)
         sig = (e.select(F.count("*").alias("n"),
                         F.expr("bit_xor(xxhash64(u, v))").alias("h"))
                .first())
@@ -479,22 +530,48 @@ def resolve_entities(spark: SparkSession, documents: DataFrame,
     profiles = doc_profiles(documents)
     if checkpoint:
         profiles = profiles.localCheckpoint(eager=True)
+    # IDF over the FULL corpus (true document frequencies, dups and all)
     idf, default_idf = token_idf(profiles)
-    keys, hot = blocking_keys(profiles, ngram=ngram, max_block=max_block)
+    # dedup-before-ER: blocking + pairwise scoring see one rep per
+    # distinct profile; identical-profile members attach via star edges
+    # and CC merges the groups — pair volume shrinks quadratically in
+    # dup-heavy data with identical clustering output
+    reps = representative_profiles(profiles)
+    if checkpoint:
+        reps = reps.localCheckpoint(eager=True)
+    keys, hot = blocking_keys(reps, ngram=ngram, max_block=max_block)
     pairs = candidate_pairs(keys)
-    scored = score_pairs(pairs, profiles, idf=idf, default_idf=default_idf,
+    scored = score_pairs(pairs, reps, idf=idf, default_idf=default_idf,
                          reject_below=threshold)
     # identical-profile docs link directly (score 1.0 star edges) —
-    # perfect dedup recall independent of blocking caps/prunes; a pair
-    # may appear in both frames (CC dedups edges; pairwise_f1 takes
-    # max score per pair)
-    scored = scored.unionByName(exact_duplicate_edges(profiles))
+    # perfect dedup recall independent of blocking caps/prunes; derived
+    # from the doc→rep map (one join) rather than a second window pass
+    doc_rep = (profiles
+               .join(reps.select(F.col("doc_id").alias("rep"), "profile"),
+                     on="profile")
+               .select("doc_id", "rep"))
+    star = (doc_rep.where(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                    F.lit(1.0).alias("score"),
+                    F.lit(False).alias("rejected")))
     if checkpoint:
         scored = scored.localCheckpoint(eager=True)
-    edges = scored.where(F.col("score") >= threshold)
-    labels = connected_components(edges, checkpoint=checkpoint)
+    # star contraction: the iterative CC only ever sees the rep-level
+    # near-dup graph (scored pairs are rep-vs-rep by construction);
+    # identical-profile members attach to their rep's component with one
+    # narrow join afterwards instead of O(log n) rounds of star edges
+    rep_edges = (scored.where(F.col("score") >= threshold)
+                 .where(~F.col("rejected")))
+    rep_labels = connected_components(rep_edges, checkpoint=checkpoint)
+    all_pairs = scored.unionByName(star)
+    labels = (doc_rep
+              .join(rep_labels.withColumnRenamed("doc_id", "rep"),
+                    on="rep", how="left")
+              .select("doc_id",
+                      F.coalesce("cluster_id", "rep").alias("cluster_id")))
     clusters = assign_clusters(documents, labels)
-    return {"profiles": profiles, "pairs": scored, "clusters": clusters,
+    return {"profiles": profiles, "pairs": all_pairs, "clusters": clusters,
             "hot_keys": hot}
 
 

@@ -56,7 +56,16 @@ def doc_field_grams(kv: DataFrame) -> DataFrame:
          .select("doc_id",
                  F.explode(F.concat("toks", "bigs")).alias("gram"))
          .where(~F.col("gram").isin(*STOP_GRAMS)))
-    return g.groupBy("doc_id").agg(F.collect_list("gram").alias("grams"))
+    # every kv doc keeps a row even when no gram survives (all tokens
+    # length<=1 / stop-grams) — otherwise prediction silently drops the
+    # doc and downstream joins shrink their denominators;
+    # CountVectorizer featurizes an empty array as the zero vector
+    return (kv.select("doc_id").distinct()
+            .join(g.groupBy("doc_id")
+                  .agg(F.collect_list("gram").alias("grams")),
+                  on="doc_id", how="left")
+            .withColumn("grams", F.coalesce(
+                "grams", F.array().cast("array<string>"))))
 
 
 class SampleTypeModel:
