@@ -145,6 +145,28 @@ def _p3_run_doc(pdf: "pd.DataFrame") -> "pd.DataFrame":
                                       "edit_dist"])
 
 
+def _p3_run_doc_safe(pdf: "pd.DataFrame",
+                     fault_doc: str | None = None) -> "pd.DataFrame":
+    """Per-document failure isolation around the exact P3 graph walk
+    (reference skips-and-logs a bad sample, condor_run_pipeline.py:87-89;
+    gather_mappings.py:37-44): an exception yields ONE marker row
+    (match_target='__error__', token=the error text) instead of killing
+    the job; the pipeline routes the doc to the _errors side table.
+    ``fault_doc`` is the deterministic test fault hook
+    (SPARK_GRAFT_FAULT_DOC, captured driver-side)."""
+    doc = pdf["doc_id"].iloc[0]
+    try:
+        if fault_doc is not None and doc == fault_doc:
+            raise ValueError("injected fault")
+        return _p3_run_doc(pdf)
+    except Exception as ex:  # noqa: BLE001 — isolation seam
+        return pd.DataFrame(
+            [(doc, f"{type(ex).__name__}: {ex}", 0, 0, "",
+              "__error__", 0)],
+            columns=["doc_id", "token", "start", "end", "target_id",
+                     "match_target", "edit_dist"])
+
+
 def remove_subinterval_matches(matches: DataFrame, deriv_edges: DataFrame,
                                inf_edges: DataFrame,
                                roots: DataFrame) -> DataFrame:
@@ -202,7 +224,13 @@ def remove_subinterval_matches(matches: DataFrame, deriv_edges: DataFrame,
                    F.col("start").alias("i1"), F.col("end").alias("i2"),
                    nul_i.alias("i3"), nul_i.alias("i4")))
     g = g_m.unionByName(g_d).unionByName(g_i).unionByName(g_r)
-    pruned = g.groupBy("doc_id").applyInPandas(_p3_run_doc, schema=_M_SCHEMA)
+    import os
+    fault_doc = os.environ.get("SPARK_GRAFT_FAULT_DOC")
+
+    def _safe(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return _p3_run_doc_safe(pdf, fault_doc)
+
+    pruned = g.groupBy("doc_id").applyInPandas(_safe, schema=_M_SCHEMA)
     return passthrough.unionByName(pruned)
 
 

@@ -134,18 +134,41 @@ def expansion_edges(tok: DataFrame, ref: RefData) -> DataFrame:
     inflections = {k: list(v) for k, v in raw["inflection_variants"].items()}
     spellings = {k: list(v) for k, v in raw["spelling_variants"].items()}
 
-    key = ("expand_edges", id(ref))
+    # fault hook read DRIVER-side and closure-captured (worker env is
+    # frozen at python-daemon spawn, so reading it executor-side would
+    # race with test setenv)
+    import os as _os
+    fault = _os.environ.get("SPARK_GRAFT_FAULT_TOKEN")
+    key = ("expand_edges", id(ref), fault)
     if key not in _udf_cache:
         from ..functions.text import expand_token_closure_edges
 
         @F.pandas_udf(_EDGE_SCHEMA)
         def udf(tokens: pd.Series) -> pd.Series:
-            return tokens.map(lambda t: [
-                {"p": p, "ps": ps, "pe": pe, "g": g, "s": a, "e": b, "k": k}
-                for p, ps, pe, g, a, b, k in expand_token_closure_edges(
-                    t, syn_sets, member_to_set, acronyms,
-                    inflections, spellings)
-            ])
+            # per-string failure isolation (the reference skips-and-logs
+            # a bad sample, condor_run_pipeline.py:87-89): an expansion
+            # that throws yields a single kind='__error__' edge instead
+            # of killing the job; the pipeline routes affected docs to
+            # the _errors side table.  SPARK_GRAFT_FAULT_TOKEN is the
+            # deterministic fault-injection hook for tests.
+            def expand(t):
+                try:
+                    if fault is not None and t == fault:
+                        raise ValueError("injected fault")
+                    return [
+                        {"p": p, "ps": ps, "pe": pe, "g": g,
+                         "s": a, "e": b, "k": k}
+                        for p, ps, pe, g, a, b, k in
+                        expand_token_closure_edges(
+                            t, syn_sets, member_to_set, acronyms,
+                            inflections, spellings)
+                    ]
+                except Exception as ex:  # noqa: BLE001 — isolation seam
+                    return [{"p": t, "ps": 0, "pe": 0,
+                             "g": f"{type(ex).__name__}: {ex}",
+                             "s": 0, "e": 0, "k": "__error__"}]
+
+            return tokens.map(expand)
         _udf_cache[key] = udf
     expand_udf = _udf_cache[key]
 

@@ -42,6 +42,10 @@ class PipelineResult:
     inf_edges: DataFrame
     real_values: DataFrame          # (doc_id, property_id, value, unit_id, consequent)
     mapped_terms: DataFrame         # (doc_id, term_id, consequent)
+    errors: DataFrame = None        # (doc_id, stage, error) — per-doc
+    # failure isolation: a doc whose expansion UDF or P3 graph walk threw
+    # is EXCLUDED from every output frame and recorded here (reference
+    # skips-and-logs, condor_run_pipeline.py:87-89, gather_mappings.py:37-44)
 
 
 def _targets(matches: DataFrame) -> DataFrame:
@@ -85,6 +89,20 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
     # (one pandas-UDF eval per distinct string); the token set is its
     # child projection — no second expansion job
     deriv = snap.cut(S.expansion_edges(roots, ref), "deriv_expand")
+    # per-doc failure isolation: error marker edges (kind='__error__',
+    # emitted by the expansion UDF's per-string try/except) route their
+    # doc into the _errors side table and OUT of every pipeline frame.
+    # ``bad`` is a tiny broadcast anti-join probe over the materialized
+    # deriv cut — no extra job, near-zero cost on the clean path.
+    err_expand = (deriv.where(F.col("kind") == "__error__")
+                  .select("doc_id", F.lit("expand").alias("stage"),
+                          F.concat(F.col("ptoken"), F.lit(" :: "),
+                                   F.col("token")).alias("error")))
+    bad = err_expand.select("doc_id").distinct()
+    deriv = (deriv.where(F.col("kind") != "__error__")
+             .join(bad, on="doc_id", how="left_anti"))
+    roots = roots.join(bad, on="doc_id", how="left_anti")
+    kv = kv.join(bad, on="doc_id", how="left_anti")
     tok = S.tokens_from_edges(roots, deriv)
 
     m = S.exact_match(tok, ref)                                # J1
@@ -123,6 +141,16 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
 
     m = P.remove_subinterval_matches(m, deriv, inf12, roots)   # P3
     m = snap.cut(m, "m_p3")
+    # P3 per-doc isolation: a marker row means the doc's graph walk
+    # threw — exclude the doc from matches/kv/tok and record the error
+    err_p3 = (m.where(F.col("match_target") == "__error__")
+              .select("doc_id", F.lit("p3").alias("stage"),
+                      F.col("token").alias("error")))
+    bad_p3 = err_p3.select("doc_id").distinct()
+    m = (m.where(F.col("match_target") != "__error__")
+         .join(bad_p3, on="doc_id", how="left_anti"))
+    kv = kv.join(bad_p3, on="doc_id", how="left_anti")
+    tok = tok.join(bad_p3, on="doc_id", how="left_anti")
 
     e3 = I.custom_consequent_terms(nt, ref)                    # I3
     nt = nt.unionByName(_dsts(e3)).distinct()
@@ -175,7 +203,8 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
         exclude_real_value_properties=exclude_real_value_properties,
         kv=kv, snap=snap)
     return PipelineResult(kv=kv, tokens=tok, matches=m, inf_edges=inf,
-                          real_values=rv_all, mapped_terms=mapped)
+                          real_values=rv_all, mapped_terms=mapped,
+                          errors=err_expand.unionByName(err_p3))
 
 
 def run_chunked_pipeline(spark: SparkSession, documents: DataFrame,
@@ -242,4 +271,5 @@ def run_chunked_pipeline(spark: SparkSession, documents: DataFrame,
         inf_edges=_union([r.inf_edges for r in rs]),
         real_values=_union([r.real_values for r in rs]),
         mapped_terms=_union([r.mapped_terms for r in rs]),
+        errors=_union([r.errors for r in rs]),
     )
