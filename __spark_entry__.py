@@ -494,6 +494,51 @@ def _q35_atcc_filter(spark, sf):
     return atcc_key_value_filter(kv, ref)
 
 
+def _q37_media_decode(spark, sf):
+    """Multimodal media columns through the REAL engine operators
+    (functions/multimodal.py): extract_media_spans → decode_media
+    (mapInPandas, Arrow batches; deterministic sha256-derived stub
+    decoder — image/audio libs absent from this container) →
+    frame_sample (native explode) → media_feature_stub (mapInPandas).
+    The oracle recomputes the whole sha-derived metadata independently
+    in DuckDB SQL — a full hash-match dual implementation; feature[0]
+    is checked as its exact source byte (×255) to stay integer-exact
+    across float32 storage."""
+    from metasra_pipeline_spark.functions import multimodal as MM
+    d = _t(spark, sf, "documents").where("doc_id % 10 < 3")
+    ext = F.element_at(F.array(F.lit("png"), F.lit("wav"), F.lit("mp4")),
+                       (F.col("doc_id") % 3 + 1).cast("int"))
+    docs = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(F.lit("text").alias("kind"),
+                     F.col("text").alias("text"),
+                     F.lit("").alias("media_ref"), F.lit(0).alias("offset")),
+            F.struct(F.lit("media").alias("kind"), F.lit("").alias("text"),
+                     F.concat(F.lit("bucket/"), F.col("doc_id"), F.lit("."),
+                              ext).alias("media_ref"),
+                     F.lit(1).alias("offset")),
+        ).alias("spans"))
+    media = MM.extract_media_spans(docs)
+    dec = MM.decode_media(media)
+    fs = (MM.frame_sample(dec, every_n=8)
+          .groupBy("doc_id", "media_ref")
+          .agg(F.count("*").cast("int").alias("n_sampled_frames")))
+    feat = (MM.media_feature_stub(dec, dim=8)
+            .select("doc_id", "media_ref",
+                    F.round(F.element_at("feature", 1) * 255, 0)
+                    .cast("int").alias("feat_byte0")))
+    return (dec
+            .join(fs, on=["doc_id", "media_ref"], how="left")
+            .join(feat, on=["doc_id", "media_ref"])
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "media_ref", "media_kind", "content_sha",
+                    "width", "height", "n_frames", "duration_ms",
+                    F.coalesce("n_sampled_frames", F.lit(0))
+                    .alias("n_sampled_frames"),
+                    "feat_byte0"))
+
+
 # ------------------------------------------- non-SQL-expressible (rows-only)
 def _q90_er_resolve(spark, sf):
     """Full blocking→scoring→CC entity resolution over span documents
@@ -516,15 +561,38 @@ def _q90_er_resolve(spark, sf):
 
 def _q91_mapping_pipeline(spark, sf):
     """The p_53 semantic mapping pipeline end-to-end on bundled fixture
-    documents (sf-independent; oracle is the pytest golden suite)."""
+    documents (sf-independent; oracle is the pytest golden suite, which
+    pins the same docs' term sets / real values / provenance).  The
+    fixture set covers every stage family the golden suite exercises:
+    T10 time parsing (g2/g7/g9), T9 property synonyms (g6), I6 dev-stage
+    from age, I7 term-artifact combos (g3/g8), the I2-I5 cell-line
+    cascade + R1 default-unit branch (g4/g12), and P4 blocking (g5)."""
     from metasra_pipeline_spark.datagen import docs_from_kv
     from metasra_pipeline_spark.plans.pipeline import run_mapping_pipeline
     from metasra_pipeline_spark.refdata import load_refdata
     ref = load_refdata(spark)
     docs = docs_from_kv(spark, [
-        ("g1", [("age", "48"), ("gender", "female"),
+        ("g1", [("ID", "P352_141"), ("age", "48"), ("bmi", "24"),
+                ("gender", "female"),
+                ("source_name", "vastus lateralis muscle_female"),
                 ("tissue", "vastus lateralis muscle")]),
+        ("g2", [("age", "7 Year old"), ("batch", "1L"),
+                ("condition", "Disomic"), ("gender", "female"),
+                ("source_name", "Lymphoblastoid")]),
+        ("g3", [("cell type", "T cell"), ("marker", "CD4+")]),
         ("g4", [("cell line", "MDA-MB-231"), ("passage", "3")]),
+        ("g5", [("treatment", "HeLa conditioned medium")]),
+        ("g6", [("sex", "m"), ("tissue", "liver")]),
+        ("g7", [("age", "6 weeks"), ("tissue", "heart")]),
+        ("g8", [("cell type", "T cell"), ("marker", "CD8+")]),
+        ("g9", [("timepoint", "4 hour"), ("source_name", "Lymphoblastoid")]),
+        ("g10", [("tissue", "bone marrow"), ("age", "62"), ("bmi", "31")]),
+        ("g11", [("gender", "male"), ("tissue", "brain")]),
+        ("g12", [("cell line", "HeLa"), ("passage", "7")]),
+        ("g13", [("cell line", "MDA-MB-231"), ("condition",
+                 "TNF stimulated 6h")]),          # second full cascade
+        ("g14", [("gender", "male"), ("tissue", "skin"),
+                 ("age", "25"), ("bmi", "22")]),
     ])
     res = run_mapping_pipeline(spark, docs, ref)
     # The driver sort-canonicalizes every column with pandas; an
@@ -571,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_cellosaurus_synonyms": _q34_cellosaurus_synonyms,
         "q35_atcc_filter": _q35_atcc_filter,
         "q36_ivf_probe": _q36_ivf_probe,
+        "q37_media_decode": _q37_media_decode,
         "q90_er_resolve": _q90_er_resolve,
         "q91_mapping_pipeline": _q91_mapping_pipeline,
     }
@@ -994,4 +1063,40 @@ def oracle_sql() -> dict[str, str]:
                     {_lsh_list_id_sql('q.embedding')}) AS BIGINT))
                   <= {_LSH_RADIUS}
             ORDER BY cosine DESC, e.vec_id LIMIT 5""",
+        # independent DuckDB re-implementation of the deterministic
+        # sha256-derived media decode stub + frame-sample schedule
+        # (functions/multimodal.py): every metadata field re-derived
+        # from sha256(media_ref) in SQL — full hash-match
+        "q37_media_decode": """
+            WITH m AS (
+              SELECT doc_id,
+                     concat('bucket/', doc_id, '.',
+                            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+                                 WHEN 1 THEN 'wav' ELSE 'mp4' END)
+                       AS media_ref,
+                     CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind
+              FROM documents WHERE doc_id % 10 < 3),
+            d AS (SELECT doc_id, media_ref, media_kind,
+                         sha256(media_ref) AS sha FROM m),
+            x AS (SELECT doc_id, media_ref, media_kind, sha AS content_sha,
+                    CAST(concat('0x', substring(sha, 1, 2)) AS INT) AS b0,
+                    CAST(concat('0x', substring(sha, 3, 2)) AS INT) AS b1,
+                    CAST(concat('0x', substring(sha, 5, 2)) AS INT) AS b2,
+                    CAST(concat('0x', substring(sha, 7, 4)) AS INT) AS b34
+                  FROM d)
+            SELECT doc_id, media_ref, media_kind, content_sha,
+                   CASE WHEN media_kind IN ('image', 'video')
+                        THEN 64 + b0 END AS width,
+                   CASE WHEN media_kind IN ('image', 'video')
+                        THEN 64 + b1 END AS height,
+                   CASE WHEN media_kind = 'video'
+                        THEN 1 + b2 % 64 END AS n_frames,
+                   CASE WHEN media_kind IN ('audio', 'video')
+                        THEN 1000 + b34 END AS duration_ms,
+                   CASE WHEN media_kind = 'video'
+                        THEN CAST((b2 % 64) // 8 AS INT) + 1
+                        ELSE 0 END AS n_sampled_frames,
+                   b0 AS feat_byte0
+            FROM x""",
     }

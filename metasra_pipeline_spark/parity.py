@@ -235,6 +235,14 @@ def score_parity(spark: SparkSession,
     the reachable subset (terms whose name/overlay-synonym text appears
     in the sample's attributes; see module docstring) — plus doc-level
     exact-set accuracy and real-value tuple P/R/F1.
+
+    ``terms_reachable_micro`` restricts RECALL only: false negatives
+    are limited to reachable expected terms, while false positives are
+    identical to the raw metric BY CONSTRUCTION — every predicted term
+    was produced by matching lexicon text that occurs in the sample, so
+    every prediction is definitionally "reachable" and no fp could be
+    excluded.  Reachable precision ≡ raw precision is therefore not a
+    bug but a property of the restriction.
     """
     samples = samples if samples is not None else load_labeled_samples()
     ref = build_labeled_refdata(spark, samples, metadata_root)
@@ -270,6 +278,8 @@ def score_parity(spark: SparkSession,
         fp += len(got - exp)
         fn += len(exp - got)
         rtp += len(reachable & got)
+        # fp is NOT restricted: every prediction came from text matching,
+        # so all predictions are reachable (see score_parity docstring)
         rfp += len(got - exp)
         rfn += len(reachable - got)
         if exp == got:

@@ -189,3 +189,34 @@ def test_lsh_bucket_cap_bounds_dup_heavy_corpus(spark):
     assert capped.count() == 0            # oversized buckets dropped
     uncapped = lsh_candidate_pairs(sig, band_size=4, max_bucket=None)
     assert uncapped.count() == 1000 * 999 // 2
+
+
+def test_lsh_projection_margin_on_testdata():
+    """Guard for the q36 hash-exact dual-implementation oracle: three
+    independent dot-product fold orders (Spark SQL aggregate, Python
+    left fold, DuckDB list_dot_product) are compared bit-for-bit, which
+    is only stable if no projection sits near zero where FP
+    fold-order error (~1e-13 relative) could flip a bucket bit.
+    Assert the minimum |projection| margin on the driver's testdata is
+    orders of magnitude above that error."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from metasra_pipeline_spark.functions.simsearch import lsh_planes
+
+    checked = 0
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        path = os.path.join(sf, "embeddings.parquet")
+        if not os.path.exists(path):
+            continue
+        emb = pd.read_parquet(path, columns=["embedding"])
+        mat = np.array([np.asarray(v, dtype=float)
+                        for v in emb["embedding"]])
+        planes = np.array(lsh_planes(4, mat.shape[1]))
+        margin = np.abs(mat @ planes.T).min()
+        assert margin > 1e-6, (sf, margin)
+        checked += 1
+    assert checked > 0
