@@ -55,7 +55,12 @@ def get_spark(
         # lexicon + side tables are << this; keep broadcasts automatic
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.spill.compress", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # 16g default: local-mode concurrent workloads (FAIR-scheduled
+        # map pipeline + ER in one JVM, scripts/scaling_bench.py) were
+        # measured to overflow an 8g MemoryStore at local[8] once ER
+        # caches representative profiles; a real cluster sizes executor
+        # heap per core — keep ~2-4g/core locally via SPARK_DRIVER_MEM
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # chunked pipeline execution (plans/pipeline.py:
         # run_chunked_pipeline) submits independent per-chunk jobs from
         # threads; FAIR keeps one chunk's wide stage from starving the
