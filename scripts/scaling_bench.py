@@ -104,6 +104,11 @@ def run_level(cpus: int, map_docs: int, er_docs: int, reps: int = 3,
         env["BENCH_CONCURRENT"] = "1"
     env.update({
         "SPARK_GRAFT_CPUS": str(cpus),
+        # per-core heap parity across levels (4 g/core): the hi level
+        # emulates 4x the executors, and four real executor JVMs have
+        # 4x the total heap — one shared heap sized for the lo level
+        # OOMs the MemoryStore at local[8] once ER caches rep profiles
+        "SPARK_DRIVER_MEM": f"{4 * cpus}g",
         # cluster-proportional partitioning (3× task slots), exactly as a
         # real N- vs 4N-executor deployment would configure itself.
         # Round 1 pinned ONE count at both levels; that adds the same
