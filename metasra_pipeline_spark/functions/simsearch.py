@@ -152,6 +152,28 @@ def lsh_ivf_assign(embeddings: DataFrame, n_bits: int = 4, seed: int = 7,
     return embeddings.withColumn("list_id", lid), planes
 
 
+def lsh_projection_margin(embeddings: DataFrame, planes: list,
+                          vec_col: str = "embedding") -> float:
+    """Smallest |dot(vec, plane)| over every row x plane — the margin
+    that makes the q36 hash-exact dual-implementation oracle sound.
+
+    ``lsh_ivf_assign`` (Spark SQL aggregate), ``lsh_ivf_probe``
+    (Python left fold) and the DuckDB oracle (list_dot_product) may
+    accumulate the same dot product in different floating-point
+    orders; a projection whose true value sits within accumulation
+    noise of zero (~dim * eps * sum|x*y|, ≈1e-12 for dim=64 unit-scale
+    vectors) could round to different signs and flip a bucket bit.
+    Asserting this margin >> that bound on the test corpora
+    (tests/test_dedup_simsearch.py) guarantees all three fold orders
+    agree on every sign, so the hash-exact comparison is deterministic
+    rather than luck."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    per_plane = [F.abs(_dot(vec_d, F.array(*[F.lit(float(x)) for x in p])))
+                 for p in planes]
+    row_min = per_plane[0] if len(per_plane) == 1 else F.least(*per_plane)
+    return embeddings.select(F.min(row_min).alias("m")).first()["m"]
+
+
 def lsh_ivf_probe(assigned: DataFrame, planes: list,
                   query_vec: list[float], k: int = 5, radius: int = 1,
                   id_col: str = "vec_id", vec_col: str = "embedding",

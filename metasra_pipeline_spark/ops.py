@@ -133,6 +133,69 @@ class DirSnapshotter(Snapshotter):
         return checkpointed(self.spark, path, lambda: df)
 
 
+class IceLiteSnapshotter(Snapshotter):
+    """Durable per-stage snapshots through the Iceberg-shaped commit
+    log (:mod:`metasra_pipeline_spark.icelite`): each cut is an ATOMIC
+    snapshot commit (versioned metadata + manifest + pointer swap), so
+    a kill at any point leaves every stage table either fully committed
+    or absent — there is no torn state for resume to misread (the
+    ``_SUCCESS``-marker path in :class:`DirSnapshotter` relies on the
+    parquet committer for the same property; here it is explicit and
+    tested).  Each stage's manifest records per-data-file row counts —
+    the per-partition lineage of the north rule — and ``cut`` accepts
+    no recompute on resume: a committed stage is read back from its
+    snapshot."""
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        from .icelite import IceLiteTable
+        self._Table = IceLiteTable
+        self.spark = spark
+        self.workdir = workdir
+        self.stages_resumed: list[str] = []
+        self.stages_computed: list[str] = []
+
+    def cut(self, df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(self.workdir, name)
+        if self._Table.exists(path):
+            t = self._Table.load(path)
+            if t.snapshot_for_stage(name) is not None:
+                self.stages_resumed.append(name)
+                return t.read(self.spark)
+        else:
+            t = self._Table.create(path)
+        t.commit(df, operation="overwrite", stage=name)
+        self.stages_computed.append(name)
+        return t.read(self.spark)
+
+
+def run_icelite_pipeline(spark: SparkSession, documents: DataFrame,
+                         ref, workdir: str):
+    """The mapping pipeline with every stage boundary committed as an
+    IceLite (Iceberg-semantics) snapshot, plus the north rule's two
+    observability tables committed into the same catalog directory:
+    ``match_metrics`` (match-count metrics over the final match stage)
+    and the per-partition lineage already carried by every stage
+    manifest (``IceLiteTable.lineage``).  Kill-and-rerun resumes from
+    the last committed snapshot (tests/test_icelite.py)."""
+    from .icelite import IceLiteTable
+    from .plans.pipeline import run_mapping_pipeline
+
+    snap = IceLiteSnapshotter(spark, workdir)
+    res = run_mapping_pipeline(spark, documents, ref, snap=snap)
+    mapped = snap.cut(res.mapped_terms, "mapped_terms")
+    # real_values is already a pipeline-internal cut — read its snapshot
+    rv = IceLiteTable.load(
+        os.path.join(workdir, "real_values")).read(spark)
+    mpath = os.path.join(workdir, "match_metrics")
+    t = (IceLiteTable.load(mpath) if IceLiteTable.exists(mpath)
+         else IceLiteTable.create(mpath))
+    if not t.snapshots():
+        m_final = IceLiteTable.load(
+            os.path.join(workdir, "m_final")).read(spark)
+        t.commit(match_metrics(m_final), stage="match_metrics")
+    return mapped, rv, snap
+
+
 def run_checkpointed_pipeline(spark: SparkSession, documents: DataFrame,
                               ref, workdir: str):
     """The mapping pipeline with per-stage durable snapshot checkpoints —

@@ -153,6 +153,30 @@ def test_lsh_ivf_deterministic_and_recall(spark):
         assert len(truth & got) / 5 >= 0.6
 
 
+def test_lsh_projection_margin(spark):
+    """The q36 hash-exact oracle is only sound if no projection sits
+    within floating-point-accumulation noise of zero (three dot-product
+    fold orders are compared: Spark SQL aggregate, Python left fold,
+    DuckDB list_dot_product).  Assert the margin on the driver's
+    correctness corpora (sf0.001 smoke + sf0.01 oracle gate) at the
+    q36 settings is >> the ~1e-12 fold-order error bound for dim=64."""
+    import os
+
+    from metasra_pipeline_spark.functions.simsearch import (
+        lsh_planes,
+        lsh_projection_margin,
+    )
+
+    planes = lsh_planes(4, 64)
+    for sf in ("sf0.001", "sf0.01"):
+        path = os.path.join("/root/testdata", sf, "embeddings.parquet")
+        if not os.path.exists(path):
+            continue
+        emb = spark.read.parquet(path)  # vec_id 0 = the q36 query vector
+        margin = lsh_projection_margin(emb, planes)
+        assert margin > 1e-6, (sf, margin)
+
+
 def test_textstats(spark):
     from metasra_pipeline_spark.functions.textstats import (
         lang_id,
