@@ -543,9 +543,22 @@ def resolve_entities(spark: SparkSession, documents: DataFrame,
     pairs = candidate_pairs(keys)
     scored = score_pairs(pairs, reps, idf=idf, default_idf=default_idf,
                          reject_below=threshold)
-    # identical-profile docs link directly (score 1.0 star edges) —
-    # perfect dedup recall independent of blocking caps/prunes; derived
-    # from the doc→rep map (one join) rather than a second window pass
+    if checkpoint:
+        scored = scored.localCheckpoint(eager=True)
+    star, labels = _star_and_labels(profiles, reps, scored, threshold,
+                                    checkpoint=checkpoint)
+    all_pairs = scored.unionByName(star)
+    clusters = assign_clusters(documents, labels)
+    return {"profiles": profiles, "pairs": all_pairs, "clusters": clusters,
+            "hot_keys": hot}
+
+
+def _doc_rep_star(profiles: DataFrame,
+                  reps: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """doc→rep map + exact-dup star edges: identical-profile docs link
+    directly (score 1.0) — perfect dedup recall independent of blocking
+    caps/prunes; derived from the doc→rep map (one join) rather than a
+    second window pass."""
     doc_rep = (profiles
                .join(reps.select(F.col("doc_id").alias("rep"), "profile"),
                      on="profile")
@@ -555,24 +568,110 @@ def resolve_entities(spark: SparkSession, documents: DataFrame,
                     F.col("doc_id").alias("doc_b"),
                     F.lit(1.0).alias("score"),
                     F.lit(False).alias("rejected")))
-    if checkpoint:
-        scored = scored.localCheckpoint(eager=True)
-    # star contraction: the iterative CC only ever sees the rep-level
-    # near-dup graph (scored pairs are rep-vs-rep by construction);
-    # identical-profile members attach to their rep's component with one
-    # narrow join afterwards instead of O(log n) rounds of star edges
+    return doc_rep, star
+
+
+def _star_and_labels(profiles: DataFrame, reps: DataFrame,
+                     scored: DataFrame, threshold: float,
+                     checkpoint: bool = True
+                     ) -> tuple[DataFrame, DataFrame]:
+    """Shared post-scoring graph stage: exact-dup star edges + star-
+    contracted CC + per-doc labels.
+
+    Star contraction: the iterative CC only ever sees the rep-level
+    near-dup graph (scored pairs are rep-vs-rep by construction);
+    identical-profile members attach to their rep's component with one
+    narrow join afterwards instead of O(log n) rounds of star edges."""
+    doc_rep, star = _doc_rep_star(profiles, reps)
     rep_edges = (scored.where(F.col("score") >= threshold)
                  .where(~F.col("rejected")))
     rep_labels = connected_components(rep_edges, checkpoint=checkpoint)
-    all_pairs = scored.unionByName(star)
     labels = (doc_rep
               .join(rep_labels.withColumnRenamed("doc_id", "rep"),
                     on="rep", how="left")
               .select("doc_id",
                       F.coalesce("cluster_id", "rep").alias("cluster_id")))
+    return star, labels
+
+
+def resolve_entities_checkpointed(spark: SparkSession, documents: DataFrame,
+                                  workdir: str, threshold: float = 0.65,
+                                  ngram: int = 4, max_block: int = 200):
+    """The record-linkage pipeline resumable from Iceberg-shaped
+    snapshot checkpoints (BASELINE.json north_rule): the expensive
+    stage boundaries — ``er_profiles``, ``er_reps``, ``er_scored``
+    (blocking + pairwise scoring, the wall), ``er_labels`` (transitive
+    clustering) — each commit ATOMICALLY to an IceLite table under
+    ``workdir`` with per-data-file row counts in the manifest (the
+    per-partition lineage), and an ``er_match_metrics`` table
+    (candidate / accepted / rejected / star-edge pair counts) commits
+    alongside.  Kill the job between any two commits and a re-run
+    resumes from the last committed snapshot: in particular a committed
+    ``er_scored`` skips blocking, the IDF collect and the Arrow scoring
+    kernel entirely.  Returns (result dict, snapshotter) — the
+    snapshotter records which stages resumed vs computed.
+
+    Reference resume story for contrast: manual re-runs of failed
+    Condor chunks (create_metasra/Snakefile:481-486)."""
+    import os as _os
+
+    from ..icelite import IceLiteTable
+    from ..ops import IceLiteSnapshotter
+
+    snap = IceLiteSnapshotter(spark, workdir)
+    profiles = snap.cut(doc_profiles(documents), "er_profiles")
+    reps = snap.cut(representative_profiles(profiles), "er_reps")
+
+    scored_path = _os.path.join(workdir, "er_scored")
+    if (IceLiteTable.exists(scored_path)
+            and IceLiteTable.load(scored_path).snapshot_for_stage(
+                "er_scored") is not None):
+        # resume: skip blocking, IDF collect and the scoring kernel
+        scored = IceLiteTable.load(scored_path).read(spark)
+        snap.stages_resumed.append("er_scored")
+    else:
+        idf, default_idf = token_idf(profiles)
+        keys, _hot = blocking_keys(reps, ngram=ngram, max_block=max_block)
+        pairs = candidate_pairs(keys)
+        scored = snap.cut(
+            score_pairs(pairs, reps, idf=idf, default_idf=default_idf,
+                        reject_below=threshold), "er_scored")
+
+    # the resume check must precede connected_components: CC runs its
+    # driver-synchronized rounds EAGERLY at construction, so building
+    # the labels frame only to throw it away would redo the clustering
+    labels_path = _os.path.join(workdir, "er_labels")
+    if (IceLiteTable.exists(labels_path)
+            and IceLiteTable.load(labels_path).snapshot_for_stage(
+                "er_labels") is not None):
+        labels = IceLiteTable.load(labels_path).read(spark)
+        snap.stages_resumed.append("er_labels")
+        _, star = _doc_rep_star(profiles, reps)
+    else:
+        # CC keeps its per-round lineage cuts (localCheckpoint) —
+        # durable resume granularity is the er_labels commit itself
+        star, labels = _star_and_labels(profiles, reps, scored, threshold,
+                                        checkpoint=True)
+        labels = snap.cut(labels, "er_labels")
     clusters = assign_clusters(documents, labels)
-    return {"profiles": profiles, "pairs": all_pairs, "clusters": clusters,
-            "hot_keys": hot}
+
+    mpath = _os.path.join(workdir, "er_match_metrics")
+    t = (IceLiteTable.load(mpath) if IceLiteTable.exists(mpath)
+         else IceLiteTable.create(mpath))
+    if not t.snapshots():
+        metrics = (scored
+                   .select(F.count("*").alias("candidate_pairs"),
+                           F.sum(((F.col("score") >= threshold)
+                                  & ~F.col("rejected")).cast("long"))
+                           .alias("accepted_pairs"),
+                           F.sum(F.col("rejected").cast("long"))
+                           .alias("rejected_pairs"))
+                   .crossJoin(star.select(F.count("*").alias("star_edges"))))
+        t.commit(metrics, stage="er_match_metrics")
+    result = {"profiles": profiles, "pairs": scored.unionByName(star),
+              "clusters": clusters,
+              "match_metrics": t.read(spark)}
+    return result, snap
 
 
 def pairwise_f1(scored_pairs: DataFrame, truth: DataFrame,
