@@ -52,6 +52,14 @@ def main() -> None:
     lo_walls: list[float] = []
     hi_walls: list[float] = []
     log: list[dict] = []
+    # silicon floor: steal accounting misses covert degradation (host
+    # frequency caps / hypervisor CPU throttling measured at 3-5x on
+    # this box with ZERO steal), so gate on a direct pure-CPU probe
+    # too; the per-rep probe also gives every logged pair its own
+    # same-window silicon ceiling for the ceiling-relative reading.
+    # Floor default 6.5 ≈ 82% of the best recorded healthy lo rate
+    # (7.96 units/s, BENCH/BASELINE.md).
+    probe_floor = float(os.environ.get("LOWSTEAL_PROBE_FLOOR", "6.5"))
     while time.time() < t_end:
         rate = steal_rate()
         if rate > quiet:
@@ -60,11 +68,19 @@ def main() -> None:
                   flush=True)
             time.sleep(60)
             continue
+        pr = silicon_probe(lo, hi)
+        if pr["lo_units_per_s"] < probe_floor:
+            print(json.dumps({"waiting": True, "silicon_probe": pr,
+                              "reason": "host silicon degraded"}),
+                  flush=True)
+            time.sleep(60)
+            continue
         r_hi = run_level(hi, map_docs, er_docs, reps=1, concurrent=True)
         hi_walls.append(r_hi["value"])
         log.append({"level": hi, "wall": r_hi["value"],
                     "steal_s": r_hi["steal_s_per_rep"][0],
-                    "util_pct": r_hi["core_util_pct_per_rep"][0]})
+                    "util_pct": r_hi["core_util_pct_per_rep"][0],
+                    "probe_before": pr})
         print(json.dumps(log[-1]), flush=True)
         # only burn 9 minutes on the lo level if the window held
         if r_hi["steal_s_per_rep"][0] > quiet * r_hi["value"] / 60 * 3:
