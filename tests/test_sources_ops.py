@@ -211,6 +211,14 @@ def test_classifier_end_to_end(spark):
                                 "doc_id: string, term_id: string")
     p5 = predict_sample_type(model, ll, kv2, mapped_terms=mt3).collect()[0]
     assert p5["confidence"] == 0.0
+    # ADVICE r03: a doc whose every token is length<=1 or a stop-gram
+    # must still get a prediction row (zero-vector features), not be
+    # silently dropped from the output / accuracy denominators
+    kv3 = spark.createDataFrame(
+        [("z1", "a", "1"), ("z1", "b", "2")],
+        "doc_id: string, key: string, value: string")
+    p6 = predict_sample_type(model, ll, kv3).collect()
+    assert len(p6) == 1 and p6[0]["doc_id"] == "z1"
 
 
 def test_specialist_full_tables(spark, tmp_path):
