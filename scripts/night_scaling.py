@@ -33,8 +33,11 @@ def main() -> None:
     t_end = time.time() + deadline_min * 60
     walls: dict[int, list[float]] = {lo: [], hi: []}
     log: list[dict] = []
-    # lo first: it is the side the gated harness never managed to spend
-    order = [lo, hi]
+    # lo first: it is the side the gated harness never managed to spend.
+    # NIGHT_LEVELS overrides (e.g. "8" = hi-only attempts when the lo
+    # side is already replicated and only a clean hi window is missing).
+    order = [int(x) for x in
+             os.environ.get("NIGHT_LEVELS", f"{lo},{hi}").split(",")]
     while time.time() < t_end:
         for level in order:
             if time.time() > t_end:
