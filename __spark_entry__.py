@@ -254,6 +254,21 @@ def _lsh_list_id_sql(col: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
+def _lsh_band_sql(col: str, band: int, band_bits: int = 2) -> str:
+    """DuckDB expression for band ``band`` of the lsh_ivf_assign
+    signature: the same seeded hyperplane literals restricted to bits
+    [band*band_bits, (band+1)*band_bits) — the q38 banded blocking key."""
+    from metasra_pipeline_spark.functions.simsearch import lsh_planes
+    planes = lsh_planes(_LSH_BITS, _LSH_DIM)
+    parts = []
+    for i in range(band_bits):
+        p = planes[band * band_bits + i]
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        parts.append(f"(CASE WHEN list_dot_product(CAST({col} AS "
+                     f"DOUBLE[]), {lit}) >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
 def _q36_ivf_probe(spark, sf):
     """IVF ANN with a DETERMINISTIC coarse quantizer: multi-probe LSH
     (lsh_ivf_assign/lsh_ivf_probe — signed random projections, pure
@@ -539,6 +554,24 @@ def _q37_media_decode(spark, sf):
                     "feat_byte0"))
 
 
+_NEARDUP_TAU = 0.4      # min |cosine-tau| over ALL pairs is >=1.2e-4 at
+_NEARDUP_CAP = 100000   # sf0.001/sf0.01 (measured) — boundary-safe
+
+
+def _q38_cosine_neardup(spark, sf):
+    """Embedding-cosine near-duplicate detection (dedup family): banded
+    hyperplane-LSH blocking (OR over 2 bands x 2 bits of the q36 seeded
+    signature) -> exact cosine on candidates only -> pairs >= tau.
+    The oracle re-implements the identical banded index + cap + cosine
+    independently in DuckDB (same hyperplane literals) — a hash-exact
+    dual-implementation check like q36; the tau margin making the
+    threshold FP-safe is asserted in tests/test_dedup_simsearch.py."""
+    emb = _t(spark, sf, "embeddings")
+    return D.cosine_near_dup_pairs(emb, threshold=_NEARDUP_TAU,
+                                   n_bits=_LSH_BITS, band_bits=2,
+                                   max_bucket=_NEARDUP_CAP)
+
+
 # ------------------------------------------- non-SQL-expressible (rows-only)
 def _q90_er_resolve(spark, sf):
     """Full blocking→scoring→CC entity resolution over span documents
@@ -640,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_atcc_filter": _q35_atcc_filter,
         "q36_ivf_probe": _q36_ivf_probe,
         "q37_media_decode": _q37_media_decode,
+        "q38_cosine_neardup": _q38_cosine_neardup,
         "q90_er_resolve": _q90_er_resolve,
         "q91_mapping_pipeline": _q91_mapping_pipeline,
     }
@@ -1099,4 +1133,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS n_sampled_frames,
                    b0 AS feat_byte0
             FROM x""",
+        "q38_cosine_neardup": f"""
+            WITH ex AS (
+              SELECT vec_id, embedding, 0 AS band,
+                     {_lsh_band_sql('embedding', 0)} AS bval
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id, embedding, 1,
+                     {_lsh_band_sql('embedding', 1)}
+              FROM embeddings),
+            ok AS (SELECT band, bval FROM ex GROUP BY band, bval
+                   HAVING count(*) <= {_NEARDUP_CAP}),
+            scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+              FROM ex a
+              JOIN ex b USING (band, bval)
+              JOIN ok USING (band, bval)
+              WHERE a.vec_id < b.vec_id)
+            SELECT id_a, id_b, max(cosine) AS cosine
+            FROM scored WHERE cosine >= {_NEARDUP_TAU}
+            GROUP BY id_a, id_b""",
     }

@@ -160,3 +160,63 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
             .select(id_col, F.explode(shingles).alias("shingle"))
             .withColumn("h", _h(F.col("shingle")))
             .groupBy(id_col).agg(F.min("h").alias("fingerprint")))
+
+
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4,
+                          n_bits: int = 4, band_bits: int = 2,
+                          seed: int = 7, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          max_bucket: int | None = 100_000,
+                          round_to: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH:
+    (id_a, id_b, cosine) for every candidate pair with
+    round(cosine, round_to) >= threshold.
+
+    Blocking is the OR-construction over ``n_bits / band_bits`` bands of
+    the seeded random-projection signature (simsearch.lsh_ivf_assign —
+    deterministic, reproducible on any cluster layout): a pair is a
+    candidate iff it agrees on ALL bits of AT LEAST ONE band, so recall
+    per true pair is 1-(1-p^band_bits)^n_bands with p the per-plane
+    agreement probability — never all-pairs.  Exact cosine is then
+    computed only on candidates, entirely in whole-stage codegen
+    (aggregate/zip_with), and band-duplicate candidates collapse in the
+    final groupBy (map-side combine) rather than a vector-carrying
+    distinct.
+
+    Scale: the self-join is an equi-join on (band, band_value);
+    ``max_bucket`` drops degenerate buckets (same hot-key cap as
+    lsh_candidate_pairs / jaccard_pairs — a bucket of n rows emits
+    O(n^2) pairs).  At 10^12 rows raise ``n_bits``/``band_bits`` so
+    expected bucket size stays bounded; the plan shape is unchanged.
+    """
+    from .simsearch import cosine_similarity_col, lsh_ivf_assign
+
+    assigned, _planes = lsh_ivf_assign(embeddings, n_bits=n_bits,
+                                       seed=seed, vec_col=vec_col)
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    band_vals = F.array(*[
+        F.shiftright(F.col("list_id"), j * band_bits).bitwiseAND(F.lit(mask))
+        for j in range(n_bands)])
+    ex = (assigned
+          .select(id_col, vec_col,
+                  F.posexplode(band_vals).alias("band", "bval")))
+    if max_bucket is not None:
+        ok = (ex.groupBy("band", "bval")
+              .agg(F.count("*").alias("_n"))
+              .where(F.col("_n") <= max_bucket)
+              .select("band", "bval"))
+        ex = ex.join(ok, on=["band", "bval"], how="left_semi")
+    a = ex.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).alias("_va"), "band", "bval")
+    b = ex.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).alias("_vb"), "band", "bval")
+    da = F.transform(F.col("_va"), lambda x: x.cast("double"))
+    db = F.transform(F.col("_vb"), lambda x: x.cast("double"))
+    return (a.join(b, on=["band", "bval"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine",
+                        F.round(cosine_similarity_col(da, db), round_to))
+            .where(F.col("cosine") >= threshold)
+            .groupBy("id_a", "id_b")
+            .agg(F.max("cosine").alias("cosine")))

@@ -244,3 +244,69 @@ def test_lsh_projection_margin_on_testdata():
         assert margin > 1e-6, (sf, margin)
         checked += 1
     assert checked > 0
+
+
+def test_cosine_neardup_semantics(spark):
+    """Banded-LSH cosine near-dup: every emitted pair's cosine clears
+    the threshold AND is exactly the brute-force cosine for that pair;
+    emitted pairs are a subset of the brute-force >=tau set (blocking
+    can only lose candidates, never invent or mis-score them); banded
+    recall is material (OR over 2 bands)."""
+    import numpy as np
+    import pandas as pd
+
+    from metasra_pipeline_spark.functions.dedup import cosine_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tau = 0.4
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in cosine_near_dup_pairs(emb, threshold=tau).collect()}
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mat = np.array([np.asarray(v, dtype=float) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    truth = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            c = round(float(cos[i, j]), 4)
+            if c >= tau:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                truth[(a, b)] = c
+
+    assert got, "no near-dup pairs found at tau=0.4 on sf0.001"
+    assert set(got) <= set(truth)
+    for p, c in got.items():
+        assert abs(c - truth[p]) <= 1e-4, (p, c, truth[p])
+    recall = len(got) / len(truth)
+    assert recall >= 0.3, (len(got), len(truth))
+
+
+def test_cosine_neardup_threshold_margin_on_testdata():
+    """FP-safety guard for the q38 dual-implementation oracle: the
+    threshold tau=0.4 must not sit within FP fold-order noise of ANY
+    pair's true cosine on the driver's testdata, or Spark's
+    aggregate/zip_with and DuckDB's list_cosine_similarity could
+    disagree on inclusion.  Measured margins are >=1.2e-4 (sf0.01);
+    assert >1e-6, orders of magnitude above ~1e-13 fold noise."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    checked = 0
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = os.path.join(sf, "embeddings.parquet")
+        if not os.path.exists(path):
+            continue
+        pdf = pd.read_parquet(path, columns=["embedding"])
+        mat = np.array([np.asarray(v, dtype=float)
+                        for v in pdf["embedding"]])
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = norm @ norm.T
+        iu = np.triu_indices(len(mat), k=1)
+        margin = np.abs(cos[iu] - 0.4).min()
+        assert margin > 1e-6, (sf, margin)
+        checked += 1
+    assert checked > 0
