@@ -572,6 +572,25 @@ def _q38_cosine_neardup(spark, sf):
                                    max_bucket=_NEARDUP_CAP)
 
 
+def _q39_asof_join(spark, sf):
+    """Backward as-of join (functions/asof.py): each click event gets
+    the same user's most recent at-or-before view event.  Spark side is
+    the sort-merge union+window composition (one shuffle by user_id —
+    no range-join blowup); the oracle is DuckDB's NATIVE ASOF LEFT
+    JOIN, so two independent as-of implementations must agree
+    hash-exact, gap measured in integer microseconds (FP-free)."""
+    from metasra_pipeline_spark.functions.asof import asof_join
+    ev = _t(spark, sf, "events")
+    clicks = ev.where("event_type = 'click'").select(
+        "event_id", "user_id", "ts")
+    views = ev.where("event_type = 'view'").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"))
+    out = asof_join(clicks, views, on="user_id", ts="ts",
+                    payload=["view_event_id"])
+    return out.select("event_id", "user_id", "view_event_id",
+                      F.col("asof_gap_us").alias("gap_us"))
+
+
 # ------------------------------------------- non-SQL-expressible (rows-only)
 def _q90_er_resolve(spark, sf):
     """Full blocking→scoring→CC entity resolution over span documents
@@ -674,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_ivf_probe": _q36_ivf_probe,
         "q37_media_decode": _q37_media_decode,
         "q38_cosine_neardup": _q38_cosine_neardup,
+        "q39_asof_join": _q39_asof_join,
         "q90_er_resolve": _q90_er_resolve,
         "q91_mapping_pipeline": _q91_mapping_pipeline,
     }
@@ -1156,4 +1176,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, max(cosine) AS cosine
             FROM scored WHERE cosine >= {_NEARDUP_TAU}
             GROUP BY id_a, id_b""",
+        "q39_asof_join": """
+            WITH v AS (SELECT user_id, ts, event_id AS view_event_id
+                       FROM events WHERE event_type = 'view'),
+            c AS (SELECT event_id, user_id, ts
+                  FROM events WHERE event_type = 'click')
+            SELECT c.event_id, c.user_id, v.view_event_id,
+                   CAST(date_diff('microseconds', v.ts, c.ts) AS BIGINT)
+                     AS gap_us
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND c.ts >= v.ts""",
     }
