@@ -75,7 +75,8 @@ def main() -> None:
     relational = ["q01_pricing_summary", "q03_join_revenue", "q06_window_min",
                   "q09_interval_containment", "q15_lsh_pairs", "q16_simhash",
                   "q18_jaccard_pairs", "q21_knn_per_label",
-                  "q23_quality", "q27_graph_components"]
+                  "q23_quality", "q27_graph_components",
+                  "q38_cosine_neardup", "q39_asof_join"]
     only = {x for x in os.environ.get("BENCH_ONLY", "").split(",") if x}
     if only:
         relational = [q for q in relational if q in only]
