@@ -36,6 +36,7 @@ docs = (synth_documents(spark, N, seed=42)
 
 class TimedSnap(ops.LocalSnapshotter):
     def __init__(self):
+        super().__init__()
         self.t_last = time.time()
 
     def cut(self, df, name):
