@@ -253,7 +253,7 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
                 default_idf: float = 10.0,
                 prefilter_jaccard: float = 0.2,
                 reject_below: float | None = None,
-                bound_skip_jaccard: float = 0.5) -> DataFrame:
+                bound_skip_jaccard: float | None = None) -> DataFrame:
     """(doc_a, doc_b, score, rejected) via one mapInPandas pass fusing
     IDF-weighted token similarity + JW + Levenshtein-ratio (vectorized
     Arrow batches).
@@ -274,12 +274,15 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
     < reject_below, so thresholding at ``>= reject_below`` is exact;
     consumers re-thresholding LOWER must filter on ``rejected``.
 
-    Two per-row short-circuits keep the HOF bound itself off the easy
-    rows (lazy IF branches — the bound expression never evaluates):
-    byte-identical profiles score 1.0 directly, and pairs whose exact
-    unweighted Jaccard ``j0`` already ≥ ``bound_skip_jaccard`` go
-    straight to the kernel — the bound could not reject them, so
-    computing it would be pure overhead.
+    A per-row short-circuit keeps the HOF bound off byte-identical
+    profiles (lazy IF — the bound expression never evaluates; they
+    score 1.0 directly).  ``bound_skip_jaccard``, when set, ALSO skips
+    the bound for pairs whose exact unweighted Jaccard ``j0`` is
+    already ≥ the cutoff, sending them straight to the Python kernel.
+    It defaults OFF: measured at 2k/20k synth docs, skipping the bound
+    at j0 ≥ 0.5 made ER 2.7×/1.1× SLOWER — the native bound still
+    rejects a large share of mid-Jaccard pairs, and evaluating it is
+    far cheaper than the per-row kernel it would hand those pairs to.
     """
     spark = pairs.sparkSession
     aug = reject_below is not None
@@ -341,8 +344,10 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
         # with the same first char (the kernel's own candidate rule);
         # digit tokens earn only exact credit (mutually-exclusive digit
         # tokens additionally inflate the denominator); JW ≤ 1.
-        # Lazy IF: identical profiles and already-decisive-j0 rows never
-        # evaluate the HOF bound at all (2.0 = "must run the kernel").
+        # Lazy IF: identical profiles never evaluate the HOF bound at
+        # all (2.0 = "must run the kernel"); a j0-based skip is opt-in
+        # via bound_skip_jaccard (measured slower as a default — see
+        # docstring).
         # NOTE a two-tier "skip levenshtein when the token-only bound
         # already rejects" variant was measured WORSE (70 s vs 51 s at
         # 300k docs): the tier needs the token bound referenced from two
@@ -364,11 +369,13 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
             "cast(0 as double))")
         bound = (f"0.65 * IF(({den}) = 0, cast(1.0 as double), "
                  f"({num_ub}) / ({den})) + 0.15 * lr + 0.2")
+        skip = "prof_a = prof_b"
+        if bound_skip_jaccard is not None:
+            skip += f" OR j0 >= {bound_skip_jaccard}"
         enriched = (enriched
                     .withColumn("lr", F.expr(lr_expr))
                     .withColumn("upper", F.expr(
-                        f"IF(prof_a = prof_b OR j0 >= {bound_skip_jaccard}, "
-                        f"cast(2.0 as double), {bound})")))
+                        f"IF({skip}, cast(2.0 as double), {bound})")))
     else:
         enriched = enriched.withColumn("lr", F.expr(lr_expr))
 

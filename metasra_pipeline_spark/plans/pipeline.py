@@ -98,7 +98,7 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
                   .select("doc_id", F.lit("expand").alias("stage"),
                           F.concat(F.col("ptoken"), F.lit(" :: "),
                                    F.col("token")).alias("error")))
-    bad = err_expand.select("doc_id").distinct()
+    bad = F.broadcast(err_expand.select("doc_id").distinct())
     deriv = (deriv.where(F.col("kind") != "__error__")
              .join(bad, on="doc_id", how="left_anti"))
     roots = roots.join(bad, on="doc_id", how="left_anti")
@@ -155,7 +155,7 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
     err_p3 = (m.where(F.col("match_target") == "__error__")
               .select("doc_id", F.lit("p3").alias("stage"),
                       F.col("token").alias("error")))
-    bad_p3 = err_p3.select("doc_id").distinct()
+    bad_p3 = F.broadcast(err_p3.select("doc_id").distinct())
     m = (m.where(F.col("match_target") != "__error__")
          .join(bad_p3, on="doc_id", how="left_anti"))
     kv = kv.join(bad_p3, on="doc_id", how="left_anti")
