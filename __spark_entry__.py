@@ -591,6 +591,48 @@ def _q39_asof_join(spark, sf):
                       F.col("asof_gap_us").alias("gap_us"))
 
 
+def _q40_most_specific(spark, sf):
+    """A6 most_specific_terms (ontology_graph.py:251-290) through the
+    REAL consolidation operator: per-doc term sets over the
+    customer→nation→region hierarchy; a term is dropped iff one of its
+    descendants is also in the doc's set (anti-join against
+    mapped ⋈ ancestors).  Only every third customer contributes its
+    leaf C-term, so some N-terms survive (no descendant present) while
+    others are suppressed — both branches exercised."""
+    from types import SimpleNamespace
+
+    from metasra_pipeline_spark.operators.consolidate import (
+        most_specific_terms,
+    )
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    cn = c.join(n, c.c_nationkey == n.n_nationkey)
+    doc = (F.col("c_custkey") % 25).alias("doc_id")
+    leaf = cn.where(F.col("c_custkey") % 3 == 0)
+    mapped = (leaf.select(doc, F.concat(F.lit("C:"), "c_custkey")
+                          .alias("term_id"))
+              .unionByName(cn.select(doc, F.concat(F.lit("N:"),
+                                                   "c_nationkey")
+                                     .alias("term_id")))
+              .unionByName(cn.select(doc, F.concat(F.lit("R:"),
+                                                   "n_regionkey")
+                                     .alias("term_id")))
+              .distinct())
+    anc = (leaf.select(F.concat(F.lit("C:"), "c_custkey").alias("term_id"),
+                       F.concat(F.lit("N:"), "c_nationkey").alias("anc_id"))
+           .unionByName(leaf.select(
+               F.concat(F.lit("C:"), "c_custkey").alias("term_id"),
+               F.concat(F.lit("R:"), "n_regionkey").alias("anc_id")))
+           .unionByName(n.select(
+               F.concat(F.lit("N:"), "n_nationkey").alias("term_id"),
+               F.concat(F.lit("R:"), "n_regionkey").alias("anc_id")))
+           .distinct())
+    ref = SimpleNamespace(ancestors=anc)
+    return (most_specific_terms(mapped, ref)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "term_id"))
+
+
 # ------------------------------------------- non-SQL-expressible (rows-only)
 def _q90_er_resolve(spark, sf):
     """Full blocking→scoring→CC entity resolution over span documents
@@ -694,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_media_decode": _q37_media_decode,
         "q38_cosine_neardup": _q38_cosine_neardup,
         "q39_asof_join": _q39_asof_join,
+        "q40_most_specific": _q40_most_specific,
         "q90_er_resolve": _q90_er_resolve,
         "q91_mapping_pipeline": _q91_mapping_pipeline,
     }
@@ -1186,4 +1229,34 @@ def oracle_sql() -> dict[str, str]:
                      AS gap_us
             FROM c ASOF LEFT JOIN v
               ON c.user_id = v.user_id AND c.ts >= v.ts""",
+        "q40_most_specific": """
+            WITH cn AS (SELECT c_custkey, c_nationkey, n_regionkey
+                        FROM customer JOIN nation
+                          ON c_nationkey = n_nationkey),
+            leaf AS (SELECT * FROM cn WHERE c_custkey % 3 = 0),
+            mapped AS (
+                SELECT DISTINCT c_custkey % 25 AS doc_id,
+                       concat('C:', c_custkey) AS term_id FROM leaf
+                UNION
+                SELECT DISTINCT c_custkey % 25,
+                       concat('N:', c_nationkey) FROM cn
+                UNION
+                SELECT DISTINCT c_custkey % 25,
+                       concat('R:', n_regionkey) FROM cn),
+            anc AS (
+                SELECT concat('C:', c_custkey) AS term_id,
+                       concat('N:', c_nationkey) AS anc_id FROM leaf
+                UNION
+                SELECT concat('C:', c_custkey),
+                       concat('R:', n_regionkey) FROM leaf
+                UNION
+                SELECT concat('N:', n_nationkey),
+                       concat('R:', n_regionkey) FROM nation),
+            has_desc AS (
+                SELECT DISTINCT m.doc_id, a.anc_id AS term_id
+                FROM mapped m JOIN anc a ON m.term_id = a.term_id)
+            SELECT m.doc_id, m.term_id FROM mapped m
+            WHERE NOT EXISTS (SELECT 1 FROM has_desc h
+                              WHERE h.doc_id = m.doc_id
+                                AND h.term_id = m.term_id)""",
     }
