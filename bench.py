@@ -180,6 +180,16 @@ def main() -> None:
 
     # entity-resolution throughput (docs/sec)
     if run_er:
+        if run_map:
+            # isolation between headliners: map's ~12 localCheckpoint
+            # cuts per rep linger in the block manager until the
+            # ContextCleaner notices the dropped Python refs; without a
+            # forced GC the ER reps run against that heap residue
+            # (measured 17.6 s in-suite vs 11.4 s alone at 2k docs)
+            import gc
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(2)
         er_docs = (synth_documents(spark, n_er_docs, seed=43)
                    .select("doc_id", "spans").localCheckpoint(eager=True))
         t_er = None
