@@ -202,10 +202,29 @@ def lsh_ivf_probe(assigned: DataFrame, planes: list,
 def knn_join_per_label(embeddings: DataFrame, k: int = 3,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        label_col: str = "label",
-                       round_to: int = 4) -> DataFrame:
+                       round_to: int = 4,
+                       max_label_size: int | None = None) -> DataFrame:
     """Per-label all-pairs top-k (bucketed brute force): the LSH/IVF
     bucket join pattern — pairs only form within a partition key, ranked
-    by a window.  → (label, id_a, id_b, cosine, rank)."""
+    by a window.  → (label, id_a, id_b, cosine, rank).
+
+    ``max_label_size`` is the hot-key guard for the 100 TB path: a
+    label holding m members forms m²/2 pairs, so one skewed label
+    (all-English, a null-ish label) turns the bucketed join into
+    all-pairs.  When set, each label keeps at most ``max_label_size``
+    members — chosen deterministically by (hash, id) rank, so the same
+    input yields the same subset on any partitioning — and the rest of
+    that label is excluded from pairing (same contract as the
+    ``max_bucket`` caps in dedup.py: drop the pathological bucket's
+    tail rather than the job).  Default ``None`` preserves exact
+    semantics (the q21 oracle path)."""
+    if max_label_size is not None:
+        wcap = Window.partitionBy(label_col).orderBy(
+            F.pmod(F.hash(id_col), F.lit(2147483647)), id_col)
+        embeddings = (embeddings
+                      .withColumn("_cap_rank", F.row_number().over(wcap))
+                      .where(F.col("_cap_rank") <= max_label_size)
+                      .drop("_cap_rank"))
     a = embeddings.select(F.col(label_col).alias("label"),
                           F.col(id_col).alias("id_a"),
                           F.col(vec_col).alias("va"))

@@ -310,3 +310,32 @@ def test_cosine_neardup_threshold_margin_on_testdata():
         assert margin > 1e-6, (sf, margin)
         checked += 1
     assert checked > 0
+
+
+def test_knn_label_cap_bounds_skewed_label(spark):
+    """max_label_size caps the O(m²) blowup of one hot label
+    deterministically; uncapped labels and the default path are
+    untouched."""
+    from metasra_pipeline_spark.functions.simsearch import (
+        knn_join_per_label,
+    )
+    rows = [(i, [float(i % 7), 1.0], "hot") for i in range(40)]
+    rows += [(100 + i, [1.0, float(i)], "cold") for i in range(3)]
+    emb = spark.createDataFrame(
+        rows, "vec_id: int, embedding: array<float>, label: string")
+
+    capped = knn_join_per_label(emb, k=50, max_label_size=10)
+    hot = capped.where("label = 'hot'")
+    # 10 kept members -> at most C(10,2) ordered-pair rows
+    assert hot.count() <= 45
+    assert (hot.select("id_a").union(hot.select("id_b"))
+            .distinct().count()) <= 10
+    # cold label (3 <= cap) is complete: 3 pairs
+    assert capped.where("label = 'cold'").count() == 3
+    # deterministic: same subset on a different partitioning
+    again = knn_join_per_label(emb.repartition(7), k=50, max_label_size=10)
+    assert (sorted(capped.collect()) == sorted(again.collect()))
+    # default path is the exact all-pairs contract
+    full_hot = knn_join_per_label(emb, k=50).where("label = 'hot'")
+    assert (full_hot.select("id_a").union(full_hot.select("id_b"))
+            .distinct().count()) == 40
