@@ -142,7 +142,22 @@ def main() -> None:
         }
         print(json.dumps(out))
         return
+    def gc_pause():
+        # isolation between bench sections: localCheckpoint blocks and
+        # cached broadcast pieces from the previous section linger in
+        # the block manager until the ContextCleaner notices the
+        # dropped Python refs; without a forced GC the next section's
+        # reps run against that heap residue (measured: ER 17.6 s
+        # in-suite vs 11.4 s alone at 2k docs; map 72.2 s after the
+        # 12 relational queries vs 31.0 s alone at 1k docs / sf0.1)
+        import gc
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
+
     if run_map:
+        if relational:
+            gc_pause()
         map_docs = synth_documents(spark, n_map_docs, seed=42)
         # executor-count-emulation sharding (scripts/
         # executor_scale_bench.py): this process handles the doc_id
@@ -180,16 +195,8 @@ def main() -> None:
 
     # entity-resolution throughput (docs/sec)
     if run_er:
-        if run_map:
-            # isolation between headliners: map's ~12 localCheckpoint
-            # cuts per rep linger in the block manager until the
-            # ContextCleaner notices the dropped Python refs; without a
-            # forced GC the ER reps run against that heap residue
-            # (measured 17.6 s in-suite vs 11.4 s alone at 2k docs)
-            import gc
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(2)
+        if run_map or relational:
+            gc_pause()
         er_docs = (synth_documents(spark, n_er_docs, seed=43)
                    .select("doc_id", "spans").localCheckpoint(eager=True))
         t_er = None
