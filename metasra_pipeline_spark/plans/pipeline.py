@@ -7,15 +7,18 @@ node deletion), while the final consolidation resolves *reachability*
 through surviving edges — mirroring the reference's
 graph-mutation-then-extraction split.
 
-Materialization policy: the plan has exactly **11 named cut points**
-(``Snapshotter.cut``), chosen where a frame is re-read by several
-downstream consumers or closes a large fan-out.  Everything between
-cuts stays lazy — intermediate node-term unions are cheap re-scans of
-cut leaves, so the lazy chains cost plan size (bounded, ~2× per
-inference stage over materialized leaves), not recompute.  Round-1
-measured ~31 driver-synchronized jobs (a cut or a count each) costing
-50–80 s of fixed overhead at sf0.1 — the direct cause of the 0.333
-scaling efficiency; this shape cuts that to ~13 jobs.
+Materialization policy: the plan has a small fixed set of **named cut
+points** (``Snapshotter.cut`` — 16 incl. consolidation's, see the cut
+calls below), chosen where a frame is re-read by several downstream
+consumers or closes a large fan-out.  Everything between cuts stays
+lazy — intermediate node-term unions are cheap re-scans of cut leaves,
+so the lazy chains cost plan size (bounded, ~2× per inference stage
+over materialized leaves), not recompute.  Round-1 measured ~31
+driver-synchronized jobs (a cut or a count each) costing 50–80 s of
+fixed overhead at sf0.1 — the direct cause of the 0.333 scaling
+efficiency; the cut policy is re-derived per round from SNAP_TIMINGS
+profiles (round 4: cutting the T10/T9 edge deltas removed 2 redundant
+chain evaluations, 40.4→31.6 s warm at 1k docs).
 """
 
 from __future__ import annotations
@@ -110,8 +113,19 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
     # joins in between are duplicate-insensitive and matches are
     # deduped at the m_matched cut, so one distinct at tok_final
     # replaces three full-table shuffles
-    tok, e10 = S.parse_time_with_unit(kv, tok, m, ref, spark,  # T10
-                                      with_edges=True, dedup=False)
+    _, e10 = S.parse_time_with_unit(kv, tok, m, ref, spark,    # T10
+                                    with_edges=True, dedup=False)
+    # Cut the T10 edge delta: its chain (time-key gating joins over
+    # kv/tok/matches) otherwise re-evaluates in THREE downstream cuts —
+    # the token set (tok_final), the delta exact pass (m_matched) and
+    # P3's graph build (m_p3).  The stage's added tokens are exactly
+    # the edge dsts, so the union below rebuilds them from the cut
+    # leaf.  Measured (1k docs, 32 cores, warm rep): tok_final 5.1→0.6 s,
+    # m_p3 6.6→2.1 s, m_matched 3.3→2.6 s against 3.8 s for the two new
+    # cut jobs — whole pipeline 40.4→31.6 s in a same-session A/B.
+    e10 = snap.cut(e10, "edges_t10")
+    t10_new = e10.select("doc_id", "token", "start", "end").distinct()
+    tok = tok.unionByName(t10_new)
     # T10's value/unit/expansion tokens are created AFTER J1 ran, so
     # the reference can only match them through the later fuzzy pass —
     # which skips len<=3 strings, losing "day"/"min" units entirely
@@ -119,11 +133,14 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
     # the newly created tokens (tiny frame, broadcast lexicon join)
     # restores exact-match semantics for them; measured +4 labeled rv
     # tuples with zero extra shuffles.
-    t10_new = e10.select("doc_id", "token", "start", "end").distinct()
     m = m.unionByName(S.exact_match(t10_new, ref))
     m = m.unionByName(S.two_char_match(tok, ref))              # J3
-    tok, e9 = S.property_specific_synonyms(kv, tok, m, ref,    # T9
-                                           with_edges=True, dedup=False)
+    _, e9 = S.property_specific_synonyms(kv, tok, m, ref,      # T9
+                                         with_edges=True, dedup=False)
+    # same re-evaluation argument for T9's edge delta (consumers:
+    # tok_final's token set and m_p3's graph build)
+    e9 = snap.cut(e9, "edges_t9")
+    tok = tok.unionByName(e9.select("doc_id", "token", "start", "end"))
     tok = snap.cut(S.dedup_tokens(tok), "tok_final")
     deriv = deriv.unionByName(e10).unionByName(e9)
     m = m.unionByName(S.fuzzy_match(tok, ref))                 # J2
