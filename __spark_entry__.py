@@ -653,6 +653,35 @@ def _q90_er_resolve(spark, sf):
     return resolve_entities(spark, docs)["clusters"]
 
 
+def _q92_er_incremental(spark, sf):
+    """Incremental ER (the landed-batch delta path): resolve the base
+    75% of the q90 corpus, land the remaining 25% via
+    incremental_resolve, return the full updated assignment.  Oracle is
+    the pytest equivalence suite (tests/test_er_incremental.py pins
+    partition equality with the full batch run)."""
+    from metasra_pipeline_spark.er.incremental import incremental_resolve
+    from metasra_pipeline_spark.er.resolution import resolve_entities
+    docs = _t(spark, sf, "documents").select(
+        F.concat(F.lit("D"), F.lpad("doc_id", 8, "0")).alias("doc_id"),
+        F.array(
+            F.struct(F.lit("text").alias("kind"),
+                     F.concat(F.lit("content: "), F.col("text")).alias("text"),
+                     F.lit("").alias("media_ref"),
+                     F.lit(0).alias("offset")),
+            F.struct(F.lit("text").alias("kind"),
+                     F.concat(F.lit("source: "), F.col("source")).alias("text"),
+                     F.lit("").alias("media_ref"),
+                     F.lit(1).alias("offset")),
+        ).alias("spans"))
+    base = docs.where(F.pmod(F.hash("doc_id"), F.lit(4)) < 3)
+    delta = docs.where(F.pmod(F.hash("doc_id"), F.lit(4)) == 3)
+    base_res = resolve_entities(spark, base)
+    return incremental_resolve(
+        spark, base_profiles=base_res["profiles"],
+        base_clusters=base_res["clusters"],
+        new_documents=delta)["clusters"]
+
+
 def _q91_mapping_pipeline(spark, sf):
     """The p_53 semantic mapping pipeline end-to-end on bundled fixture
     documents (sf-independent; oracle is the pytest golden suite, which
@@ -738,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_asof_join": _q39_asof_join,
         "q40_most_specific": _q40_most_specific,
         "q90_er_resolve": _q90_er_resolve,
+        "q92_er_incremental": _q92_er_incremental,
         "q91_mapping_pipeline": _q91_mapping_pipeline,
     }
 

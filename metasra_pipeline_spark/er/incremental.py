@@ -1,0 +1,212 @@
+"""Incremental entity resolution — the landed-batch delta path.
+
+At 10^12 documents a nightly batch cannot re-run global blocking +
+scoring + connected components every time a few million new documents
+land.  This module resolves a NEW batch against an EXISTING clustering
+with work proportional to the delta, not the base:
+
+1. **Delta blocking**: candidate pairs must include at least one new
+   document — new×new pairs from a self-join of the new key table,
+   new×base pairs from an equi-join of the new key table against the
+   base key table.  Base×base pairs never form (they were already
+   decided when the base clustering was built).  Both sides keep the
+   hot-key cap, so a block contributes at most ``max_block`` base docs
+   per new doc.
+2. **Delta scoring**: the same fused Arrow kernel + native upper bound
+   as the batch path (:func:`..er.resolution.score_pairs`), with IDF
+   computed over base ∪ new profiles (full-corpus document
+   frequencies, matching batch semantics).
+3. **Star-contracted delta CC**: every base endpoint of an accepted
+   edge is contracted to its existing ``cluster_id`` super-node, so
+   connected components runs on a graph whose node count is
+   O(new docs + touched base clusters) — independent of base size.
+4. **Merge log**: a delta component containing ≥2 distinct base
+   cluster ids means a new document transitively bridged existing
+   clusters; the returned ``merges`` frame (old_cluster_id →
+   cluster_id) is applied to the base assignment with one broadcast
+   join (merge counts are tiny relative to the base) and is the audit
+   record a production deployment replays onto downstream tables.
+
+Scale notes: the only O(base) costs are the base rep/key-table scans
+feeding the new-vs-base equi-join and the final relabel join — both
+narrow, shuffle-free on the base side when ``base_keys`` /
+``base_reps`` are persisted bucketed-by-key/doc_id from the prior run
+(both are accepted as optional precomputed arguments for exactly that
+reason).  Everything quadratic touches only the delta.
+
+Reference contrast: the reference pipeline has no incremental story at
+all — new SRA dumps re-run the full Condor DAG
+(create_metasra/Snakefile:481-486); the north_rule's resumable /
+metric-logged pipeline is the batch half, this is the landing half.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .resolution import (
+    _doc_rep_star,
+    blocking_keys,
+    candidate_pairs,
+    connected_components,
+    doc_profiles,
+    representative_profiles,
+    score_pairs,
+    token_idf,
+)
+
+
+def delta_candidate_pairs(new_keys: DataFrame, base_keys: DataFrame,
+                          min_shared: int = 2) -> DataFrame:
+    """Candidate pairs with ≥1 new endpoint: new×new (self-join) ∪
+    new×base (equi-join), meta-blocked on the COMBINED shared-key
+    count.  Orientation: doc_a < doc_b, so a pair appears once no
+    matter which side is new."""
+    nn = (new_keys.alias("a").join(new_keys.alias("b"), on="key")
+          .where(F.col("a.doc_id") < F.col("b.doc_id"))
+          .select(F.col("a.doc_id").alias("doc_a"),
+                  F.col("b.doc_id").alias("doc_b")))
+    nb = (new_keys.alias("n").join(base_keys.alias("o"), on="key")
+          .select(F.least("n.doc_id", "o.doc_id").alias("doc_a"),
+                  F.greatest("n.doc_id", "o.doc_id").alias("doc_b")))
+    pairs = nn.unionByName(nb)
+    if min_shared <= 1:
+        return pairs.distinct()
+    return (pairs.groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared)
+            .drop("n_shared"))
+
+
+def incremental_resolve(spark: SparkSession,
+                        base_profiles: DataFrame,
+                        base_clusters: DataFrame,
+                        new_documents: DataFrame,
+                        threshold: float = 0.65,
+                        ngram: int = 4,
+                        max_block: int = 200,
+                        min_shared: int = 2,
+                        base_reps: DataFrame | None = None,
+                        base_keys: DataFrame | None = None,
+                        checkpoint: bool = True) -> dict[str, DataFrame]:
+    """Resolve ``new_documents`` against an existing clustering.
+
+    Parameters mirror :func:`..er.resolution.resolve_entities`;
+    ``base_profiles`` / ``base_clusters`` are that function's outputs
+    for the already-resolved corpus (production: read from the
+    committed ``er_profiles`` / ``er_labels`` IceLite tables).
+    ``base_reps`` / ``base_keys`` may be passed precomputed to skip
+    the two O(base) derivations.
+
+    Returns ``{clusters, new_clusters, merges, pairs, hot_keys}``:
+    ``clusters`` is the full updated assignment (base relabeled by
+    ``merges`` ∪ new docs), ``new_clusters`` just the new docs' rows,
+    ``merges`` the (old_cluster_id, cluster_id) log, ``pairs`` the
+    delta scored pairs + star/attach edges.
+
+    Semantics vs a full batch re-run: identical decisions for every
+    pair with ≥1 new endpoint (same blocking keys, same kernel, same
+    threshold, full-corpus IDF); base×base decisions are frozen as
+    the base clustering made them — the contract of an incremental
+    path (a full re-run may additionally re-judge old pairs whose IDF
+    drifted; tests pin partition equality on generated corpora).
+    """
+    newp = doc_profiles(new_documents)
+    if checkpoint:
+        newp = newp.localCheckpoint(eager=True)
+    if base_reps is None:
+        base_reps = representative_profiles(base_profiles)
+
+    # dedup-within-batch: one rep per distinct new profile; members
+    # attach via star edges exactly like the batch path
+    new_reps = representative_profiles(newp)
+    if checkpoint:
+        new_reps = new_reps.localCheckpoint(eager=True)
+    doc_rep, star = _doc_rep_star(newp, new_reps)
+
+    # exact-profile attach: a new rep whose profile already exists in
+    # the base corpus links to the base rep with score 1.0 — no
+    # blocking or kernel needed, and (being byte-identical) its
+    # similarity to every other doc equals its base twin's, which the
+    # base clustering already judged.  These reps skip delta scoring.
+    attach = (new_reps.alias("n")
+              .join(base_reps.alias("o"), on="profile")
+              .select(F.col("n.doc_id").alias("doc_a"),
+                      F.col("o.doc_id").alias("doc_b"),
+                      F.lit(1.0).alias("score"),
+                      F.lit(False).alias("rejected")))
+    if checkpoint:
+        attach = attach.localCheckpoint(eager=True)
+    unseen = new_reps.join(attach.select(F.col("doc_a").alias("doc_id")),
+                           on="doc_id", how="left_anti")
+
+    # delta blocking + scoring (full-corpus IDF: base ∪ new profiles)
+    new_keys, hot_new = blocking_keys(unseen, ngram=ngram,
+                                      max_block=max_block)
+    if base_keys is None:
+        base_keys, _ = blocking_keys(base_reps, ngram=ngram,
+                                     max_block=max_block)
+    pairs = delta_candidate_pairs(new_keys, base_keys,
+                                  min_shared=min_shared)
+    all_prof = base_profiles.unionByName(newp)
+    idf, default_idf = token_idf(all_prof)
+    prof_union = base_reps.unionByName(unseen)
+    scored = score_pairs(pairs, prof_union, idf=idf,
+                         default_idf=default_idf, reject_below=threshold)
+    if checkpoint:
+        scored = scored.localCheckpoint(eager=True)
+
+    accepted = (scored.where(~F.col("rejected"))
+                .where(F.col("score") >= threshold)
+                .unionByName(attach)
+                .select("doc_a", "doc_b"))
+
+    # star-contract the base side: replace base doc endpoints by their
+    # cluster_id super-node.  New doc ids pass through (left join
+    # misses).  CC then runs on O(delta) nodes regardless of base size.
+    def contract(edges: DataFrame, col: str) -> DataFrame:
+        return (edges
+                .join(base_clusters
+                      .select(F.col("doc_id").alias(col),
+                              F.col("cluster_id").alias(f"_c_{col}")),
+                      on=col, how="left")
+                .withColumn(col, F.coalesce(f"_c_{col}", col))
+                .drop(f"_c_{col}"))
+
+    delta_edges = (contract(contract(accepted, "doc_a"), "doc_b")
+                   .where(F.col("doc_a") != F.col("doc_b")))
+    labels = connected_components(delta_edges, checkpoint=checkpoint)
+
+    # merge log: a base cluster super-node relabeled by the delta CC
+    base_cids = base_clusters.select(
+        F.col("cluster_id").alias("doc_id")).distinct()
+    merges = (labels.join(base_cids, on="doc_id")
+              .where(F.col("doc_id") != F.col("cluster_id"))
+              .select(F.col("doc_id").alias("old_cluster_id"),
+                      "cluster_id"))
+
+    # merges are few (bounded by delta size) — broadcast the relabel
+    updated_base = (base_clusters
+                    .join(F.broadcast(merges),
+                          base_clusters.cluster_id == merges.old_cluster_id,
+                          how="left")
+                    .select(base_clusters.doc_id,
+                            F.coalesce(merges.cluster_id,
+                                       base_clusters.cluster_id)
+                            .alias("cluster_id")))
+
+    # new docs: doc → its rep → the rep's delta-CC label (attach and
+    # star edges put every non-singleton rep in the graph); a rep with
+    # no edge at all is its own singleton cluster
+    new_clusters = (doc_rep
+                    .join(labels.withColumnRenamed("doc_id", "rep"),
+                          on="rep", how="left")
+                    .select("doc_id",
+                            F.coalesce("cluster_id", "rep")
+                            .alias("cluster_id")))
+
+    clusters = updated_base.unionByName(new_clusters)
+    all_pairs = scored.unionByName(star).unionByName(attach)
+    return {"clusters": clusters, "new_clusters": new_clusters,
+            "merges": merges, "pairs": all_pairs, "hot_keys": hot_new}

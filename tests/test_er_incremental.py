@@ -1,0 +1,149 @@
+"""Incremental ER: delta-batch resolution against an existing
+clustering must reproduce the batch partition and handle
+transitive cluster merges."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metasra_pipeline_spark.datagen import synth_documents
+from metasra_pipeline_spark.er.incremental import incremental_resolve
+from metasra_pipeline_spark.er.resolution import resolve_entities
+
+
+def _partition(rows):
+    """cluster assignment rows -> frozenset of frozensets of doc_ids."""
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    return frozenset(frozenset(s) for s in by_c.values())
+
+
+def test_incremental_matches_batch_partition(spark):
+    """Split the generator corpus 75/25, resolve the base, land the
+    delta incrementally — the final partition must equal the full
+    batch run's (cluster ids are representatives and may differ;
+    co-membership may not)."""
+    gen = synth_documents(spark, 300, seed=42).localCheckpoint()
+    docs = gen.select("doc_id", "spans")
+    base = docs.where(F.pmod(F.hash("doc_id"), F.lit(4)) < 3)
+    delta = docs.where(F.pmod(F.hash("doc_id"), F.lit(4)) == 3)
+    assert 0 < delta.count() < 300
+
+    full = resolve_entities(spark, docs, threshold=0.65)
+    base_res = resolve_entities(spark, base, threshold=0.65)
+    incr = incremental_resolve(spark,
+                               base_profiles=base_res["profiles"],
+                               base_clusters=base_res["clusters"],
+                               new_documents=delta,
+                               threshold=0.65)
+
+    got = _partition(incr["clusters"].collect())
+    want = _partition(full["clusters"].collect())
+    assert got == want
+
+    # every doc assigned exactly once
+    n = incr["clusters"].count()
+    assert n == 300
+    assert incr["clusters"].select("doc_id").distinct().count() == 300
+
+
+def test_incremental_f1_gate(spark):
+    """The north_rule F1 gate holds when 25% of the corpus lands as a
+    delta batch instead of being present at base-build time."""
+    gen = synth_documents(spark, 300, seed=7).localCheckpoint()
+    docs = gen.select("doc_id", "spans")
+    truth = {r["doc_id"]: r["entity_id"]
+             for r in gen.select("doc_id", "entity_id").collect()}
+    base = docs.where(F.pmod(F.hash("doc_id"), F.lit(4)) < 3)
+    delta = docs.where(F.pmod(F.hash("doc_id"), F.lit(4)) == 3)
+
+    base_res = resolve_entities(spark, base, threshold=0.65)
+    incr = incremental_resolve(spark,
+                               base_profiles=base_res["profiles"],
+                               base_clusters=base_res["clusters"],
+                               new_documents=delta,
+                               threshold=0.65)
+    assign = {r["doc_id"]: r["cluster_id"]
+              for r in incr["clusters"].collect()}
+    ids = sorted(truth)
+    tp = fp = fn = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            same_truth = truth[a] == truth[b]
+            same_got = assign[a] == assign[b]
+            tp += same_truth and same_got
+            fp += same_got and not same_truth
+            fn += same_truth and not same_got
+    p = tp / max(tp + fp, 1)
+    r = tp / max(tp + fn, 1)
+    f1 = 2 * p * r / max(p + r, 1e-9)
+    assert f1 >= 0.99, (tp, fp, fn, f1)
+
+
+def _docs(spark, rows):
+    """[(doc_id, text)] -> (doc_id, spans) frame in the input_hint
+    span shape."""
+    data = [(d, [{"kind": "text", "text": t, "media_ref": None,
+                  "offset": 0}]) for d, t in rows]
+    return spark.createDataFrame(
+        data, "doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+
+
+def test_incremental_merges_bridged_clusters(spark):
+    """A new document similar to members of TWO existing clusters must
+    merge them, and the merge log must record the relabel."""
+    com = ("human hepatocyte culture protocol liver biopsy primary donor"
+           .split())
+    a_toks = com + ["alphaone", "alphatwo"]
+    b_toks = com + ["betaone", "betatwo"]
+    # base: two singleton clusters sharing `com` whose distinctive
+    # tails differ enough to stay separate at the threshold.  The
+    # corpus is kept small enough that every token's document
+    # frequency < token_idf's min_df, so all weights are the uniform
+    # default and the kernel scores are exactly the measured ones:
+    # a-b 0.811 < 0.87 <= n-b 0.911, n-a 0.929.
+    base = _docs(spark, [
+        ("a1", " ".join(a_toks)),
+        ("b1", " ".join(b_toks)),
+        ("z1", "totally unrelated mouse kidney sample zinc"),
+    ])
+    base_res = resolve_entities(spark, base, threshold=0.87)
+    base_part = _partition(base_res["clusters"].collect())
+    assert frozenset({"a1"}) in base_part
+    assert frozenset({"b1"}) in base_part
+
+    # the bridge: shares almost everything with both sides
+    bridge = _docs(spark, [
+        ("n1", " ".join(com + ["alphaone", "betaone"]))])
+    incr = incremental_resolve(spark,
+                               base_profiles=base_res["profiles"],
+                               base_clusters=base_res["clusters"],
+                               new_documents=bridge,
+                               threshold=0.87)
+    part = _partition(incr["clusters"].collect())
+    assert frozenset({"a1", "b1", "n1"}) in part
+    assert frozenset({"z1"}) in part
+    merges = incr["merges"].collect()
+    assert len(merges) >= 1, "bridging must produce a merge-log entry"
+
+
+def test_incremental_exact_attach_and_singleton(spark):
+    """A new doc byte-identical to a base profile joins that cluster
+    without scoring; an unrelated new doc becomes a singleton."""
+    base = _docs(spark, [
+        ("a1", "human liver tissue rna extraction alpha"),
+        ("a2", "human liver tissue rna extraction alpha"),
+    ])
+    base_res = resolve_entities(spark, base)
+    incr = incremental_resolve(
+        spark, base_profiles=base_res["profiles"],
+        base_clusters=base_res["clusters"],
+        new_documents=_docs(spark, [
+            ("n1", "human liver tissue rna extraction alpha"),
+            ("n2", "completely different zebra granite xylophone"),
+        ]))
+    part = _partition(incr["clusters"].collect())
+    assert frozenset({"a1", "a2", "n1"}) in part
+    assert frozenset({"n2"}) in part
+    assert incr["merges"].count() == 0
