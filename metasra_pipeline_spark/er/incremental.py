@@ -263,4 +263,72 @@ def incremental_resolve(spark: SparkSession,
     clusters = updated_base.unionByName(new_clusters)
     all_pairs = scored.unionByName(star).unionByName(attach)
     return {"clusters": clusters, "new_clusters": new_clusters,
-            "merges": merges, "pairs": all_pairs, "hot_keys": hot_new}
+            "merges": merges, "pairs": all_pairs, "hot_keys": hot_new,
+            "new_profiles": newp}
+
+
+def incremental_resolve_checkpointed(spark: SparkSession, workdir: str,
+                                     new_documents: DataFrame,
+                                     threshold: float = 0.65,
+                                     ngram: int = 4, max_block: int = 200,
+                                     **kw) -> dict[str, DataFrame]:
+    """Land a delta batch against the IceLite workdir of a prior
+    :func:`..er.resolution.resolve_entities_checkpointed` run (or a
+    prior landing) and commit the outcome atomically:
+
+    - ``er_profiles`` gains an APPEND snapshot holding only the new
+      docs' profile rows (the live file set = base files + delta
+      files — no base rewrite);
+    - ``er_labels`` gains an OVERWRITE snapshot with the full updated
+      assignment (merges applied, new docs labeled); time travel to
+      the parent snapshot is the pre-landing clustering;
+    - ``er_landing_metrics`` gains an APPEND row per landing
+      (new docs / scored pairs / accepted / attach edges / merges) —
+      the match-count metrics of the north rule for the landing path.
+
+    A crash anywhere leaves every table at its previous snapshot
+    (IceLite's atomic pointer swap), so a re-run of the same landing
+    is safe.  Returns the :func:`incremental_resolve` dict plus the
+    committed metrics frame under ``landing_metrics``."""
+    import os as _os
+
+    from ..icelite import IceLiteTable
+
+    profiles_t = IceLiteTable.load(_os.path.join(workdir, "er_profiles"))
+    labels_t = IceLiteTable.load(_os.path.join(workdir, "er_labels"))
+    base_profiles = profiles_t.read(spark)
+    base_labels = labels_t.read(spark)
+    base_clusters = (base_profiles.select("doc_id")
+                     .join(base_labels, on="doc_id", how="left")
+                     .select("doc_id",
+                             F.coalesce("cluster_id", "doc_id")
+                             .alias("cluster_id")))
+
+    res = incremental_resolve(spark, base_profiles, base_clusters,
+                              new_documents, threshold=threshold,
+                              ngram=ngram, max_block=max_block, **kw)
+
+    n_new = res["new_clusters"].count()
+    n_merges = res["merges"].count()
+    pair_stats = (res["pairs"]
+                  .select(F.count("*").alias("n_pairs"),
+                          F.sum(((F.col("score") >= threshold)
+                                 & ~F.col("rejected")).cast("long"))
+                          .alias("n_accepted"))
+                  .first())
+    profiles_t.commit(res["new_profiles"], operation="append",
+                      stage="er_profiles",
+                      summary={"landing-new-docs": n_new})
+    labels_t.commit(res["clusters"], operation="overwrite",
+                    stage="er_labels",
+                    summary={"landing-merges": n_merges})
+    mpath = _os.path.join(workdir, "er_landing_metrics")
+    mt = (IceLiteTable.load(mpath) if IceLiteTable.exists(mpath)
+          else IceLiteTable.create(mpath))
+    metrics = spark.createDataFrame(
+        [(n_new, int(pair_stats["n_pairs"]),
+          int(pair_stats["n_accepted"] or 0), n_merges)],
+        "n_new_docs long, n_pairs long, n_accepted long, n_merges long")
+    mt.commit(metrics, operation="append", stage="er_landing_metrics")
+    res["landing_metrics"] = mt.read(spark)
+    return res

@@ -147,3 +147,53 @@ def test_incremental_exact_attach_and_singleton(spark):
     assert frozenset({"a1", "a2", "n1"}) in part
     assert frozenset({"n2"}) in part
     assert incr["merges"].count() == 0
+
+
+def test_incremental_checkpointed_landing(spark, tmp_path):
+    """Landing a delta through IceLite: er_profiles appends, er_labels
+    overwrites with the merge applied, time travel shows the
+    pre-landing clustering, metrics row committed."""
+    from metasra_pipeline_spark.er.incremental import (
+        incremental_resolve_checkpointed,
+    )
+    from metasra_pipeline_spark.er.resolution import (
+        resolve_entities_checkpointed,
+    )
+    from metasra_pipeline_spark.icelite import IceLiteTable
+
+    wd = str(tmp_path / "er")
+    base = _docs(spark, [
+        ("a1", "human liver tissue rna extraction alpha"),
+        ("a2", "human liver tissue rna extraction alpha"),
+        ("z1", "totally unrelated mouse kidney sample zinc"),
+    ])
+    resolve_entities_checkpointed(spark, base, wd)
+
+    import os
+    labels_t = IceLiteTable.load(os.path.join(wd, "er_labels"))
+    pre_snap = labels_t.current_snapshot_id()
+
+    res = incremental_resolve_checkpointed(
+        spark, wd, _docs(spark, [
+            ("n1", "human liver tissue rna extraction alpha"),
+            ("n2", "completely different zebra granite xylophone"),
+        ]))
+    part = _partition(res["clusters"].collect())
+    assert frozenset({"a1", "a2", "n1"}) in part
+
+    # committed state matches the returned state
+    labels_t = IceLiteTable.load(os.path.join(wd, "er_labels"))
+    committed = _partition(labels_t.read(spark).collect())
+    assert committed == part
+    # time travel: the pre-landing snapshot has no n1/n2
+    old = {r["doc_id"] for r in
+           labels_t.read(spark, snapshot_id=pre_snap).collect()}
+    assert "n1" not in old and "a1" in old
+    # er_profiles appended, not rewritten
+    prof_t = IceLiteTable.load(os.path.join(wd, "er_profiles"))
+    assert prof_t.snapshots()[-1]["operation"] == "append"
+    assert prof_t.read(spark).count() == 5
+    # landing metrics committed
+    m = res["landing_metrics"].collect()
+    assert len(m) == 1 and m[0]["n_new_docs"] == 2
+    assert m[0]["n_merges"] == 0
