@@ -197,3 +197,37 @@ def test_incremental_checkpointed_landing(spark, tmp_path):
     m = res["landing_metrics"].collect()
     assert len(m) == 1 and m[0]["n_new_docs"] == 2
     assert m[0]["n_merges"] == 0
+
+
+def test_incremental_checkpointed_second_landing(spark, tmp_path):
+    """Landings compose: a second batch lands against the profiles and
+    labels the first landing committed."""
+    import os
+
+    from metasra_pipeline_spark.er.incremental import (
+        incremental_resolve_checkpointed,
+    )
+    from metasra_pipeline_spark.er.resolution import (
+        resolve_entities_checkpointed,
+    )
+    from metasra_pipeline_spark.icelite import IceLiteTable
+
+    wd = str(tmp_path / "er")
+    resolve_entities_checkpointed(spark, _docs(spark, [
+        ("a1", "human liver tissue rna extraction alpha"),
+    ]), wd)
+    incremental_resolve_checkpointed(spark, wd, _docs(spark, [
+        ("n1", "standalone second batch profile gamma"),
+    ]))
+    res = incremental_resolve_checkpointed(spark, wd, _docs(spark, [
+        # identical to the FIRST landing's doc: must attach to n1's
+        # cluster, proving landing 2 sees landing 1's committed state
+        ("m1", "standalone second batch profile gamma"),
+    ]))
+    part = _partition(res["clusters"].collect())
+    assert frozenset({"n1", "m1"}) in part
+    assert frozenset({"a1"}) in part
+    prof_t = IceLiteTable.load(os.path.join(wd, "er_profiles"))
+    assert prof_t.read(spark).count() == 3
+    m = IceLiteTable.load(os.path.join(wd, "er_landing_metrics"))
+    assert m.read(spark).count() == 2
