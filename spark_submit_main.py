@@ -23,6 +23,13 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--refdata", default=None)
     ap.add_argument("--er", action="store_true")
+    ap.add_argument("--er-land", action="store_true",
+                    help="incremental mode: treat --documents as a DELTA "
+                         "batch and land it against the er_profiles/"
+                         "er_labels snapshots a prior --er run committed "
+                         "under --workdir/er (profiles append, labels "
+                         "overwrite with merges applied, landing metrics "
+                         "committed); skips the mapping pipeline")
     ap.add_argument("--chunks", type=int, default=1,
                     help="concurrent per-chunk pipelines (the reference's "
                          "Condor-chunk production shape); each chunk "
@@ -49,6 +56,20 @@ def main() -> None:
         documents = spark.read.parquet(args.documents)
     else:
         documents = spark.read.table(args.documents)
+
+    if args.er_land:
+        from metasra_pipeline_spark.er.incremental import (
+            incremental_resolve_checkpointed,
+        )
+        res = incremental_resolve_checkpointed(
+            spark, os.path.join(args.workdir, "er"), documents)
+        ops.write_table(res["clusters"],
+                        os.path.join(args.workdir, "clusters"))
+        ops.write_table(res["merges"],
+                        os.path.join(args.workdir, "cluster_merges"))
+        ops.write_run_manifest(args.workdir, {
+            "documents": args.documents, "er_land": True})
+        return
 
     ref = load_refdata(spark, args.refdata)
     # durable per-stage snapshots under --workdir/stages: kill the job
