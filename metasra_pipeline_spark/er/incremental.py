@@ -93,8 +93,12 @@ def _delta_cc(edges: DataFrame, small_graph_cap: int,
     that its graph is itself web-scale — fall back to the distributed
     loop."""
     if small_graph_cap > 0:
-        head = edges.limit(small_graph_cap + 1).collect()
-        if len(head) <= small_graph_cap:
+        # count first (a cheap aggregate — the edge frame is already
+        # materialized by the caller's localCheckpoint): collecting
+        # cap+1 rows just to discover the graph is big would ship
+        # hundreds of MB to the driver and then throw them away
+        if edges.count() <= small_graph_cap:
+            head = edges.collect()
             parent: dict = {}
 
             def find(x):
@@ -128,7 +132,9 @@ def incremental_resolve(spark: SparkSession,
                         min_shared: int = 2,
                         base_reps: DataFrame | None = None,
                         base_keys: DataFrame | None = None,
-                        small_graph_cap: int = 2_000_000,
+                        idf: dict[str, float] | None = None,
+                        default_idf: float = 10.0,
+                        small_graph_cap: int = 1_000_000,
                         checkpoint: bool = True) -> dict[str, DataFrame]:
     """Resolve ``new_documents`` against an existing clustering.
 
@@ -181,18 +187,39 @@ def incremental_resolve(spark: SparkSession,
     unseen = new_reps.join(attach.select(F.col("doc_a").alias("doc_id")),
                            on="doc_id", how="left_anti")
 
-    # delta blocking + scoring (full-corpus IDF: base ∪ new profiles)
-    new_keys, hot_new = blocking_keys(unseen, ngram=ngram,
-                                      max_block=max_block)
+    # delta blocking — the hot-key cap must be judged on the COMBINED
+    # corpus, exactly as a batch run over base ∪ delta would: a key
+    # under the cap on each side but over it in the union must drop,
+    # or the incremental run scores pairs the batch run never forms.
+    # Both counts are restricted to keys the delta actually touches
+    # (semi-join), so the cap check is O(delta keys), not O(base).
+    new_keys, _ = blocking_keys(unseen, ngram=ngram,
+                                max_block=2**31 - 1)
     if base_keys is None:
+        # UNCAPPED on purpose: every cap decision happens on the
+        # combined counts below.  (A precomputed ``base_keys`` should
+        # likewise be the uncapped key table.)
         base_keys, _ = blocking_keys(base_reps, ngram=ngram,
-                                     max_block=max_block)
+                                     max_block=2**31 - 1)
+    base_touched = base_keys.join(new_keys.select("key").distinct(),
+                                  on="key", how="left_semi")
+    sizes = (new_keys.select("key", "doc_id")
+             .unionByName(base_touched.select("key", "doc_id"))
+             .groupBy("key")
+             .agg(F.countDistinct("doc_id").alias("n_docs")))
+    hot_new = sizes.where(F.col("n_docs") > max_block)
+    new_keys = new_keys.join(hot_new.select("key"), on="key",
+                             how="left_anti")
     pairs = delta_candidate_pairs(new_keys, base_keys,
                                   min_shared=min_shared)
     if checkpoint:
         pairs = pairs.localCheckpoint(eager=True)
-    all_prof = base_profiles.unionByName(newp)
-    idf, default_idf = token_idf(all_prof)
+    # full-corpus IDF (base ∪ new).  Recomputing it is an O(base)
+    # explode+groupBy per landing; production passes the prior run's
+    # stored head via ``idf``/``default_idf`` (the Zipf head is stable
+    # between landings) just like base_reps/base_keys.
+    if idf is None:
+        idf, default_idf = token_idf(base_profiles.unionByName(newp))
     # score_pairs augments every profile row it is handed (weight maps,
     # bound precomputations) — restricting it to TOUCHED docs keeps the
     # scoring stage O(candidate pairs), not O(base corpus).  Measured at
@@ -252,12 +279,17 @@ def incremental_resolve(spark: SparkSession,
 
     # new docs: doc → its rep → the rep's delta-CC label (attach and
     # star edges put every non-singleton rep in the graph); a rep with
-    # no edge at all is its own singleton cluster
-    new_clusters = (doc_rep
+    # no edge at all is its own singleton cluster.  Coalescing from
+    # new_documents (not doc_rep) keeps docs whose spans yield ZERO
+    # tokens — doc_profiles emits no row for them, but the batch path's
+    # assign_clusters still gives them a singleton, and partition
+    # equality with the batch run requires the same here.
+    new_clusters = (new_documents.select("doc_id")
+                    .join(doc_rep, on="doc_id", how="left")
                     .join(labels.withColumnRenamed("doc_id", "rep"),
                           on="rep", how="left")
                     .select("doc_id",
-                            F.coalesce("cluster_id", "rep")
+                            F.coalesce("cluster_id", "rep", "doc_id")
                             .alias("cluster_id")))
 
     clusters = updated_base.unionByName(new_clusters)
@@ -286,9 +318,18 @@ def incremental_resolve_checkpointed(spark: SparkSession, workdir: str,
       (new docs / scored pairs / accepted / attach edges / merges) —
       the match-count metrics of the north rule for the landing path.
 
-    A crash anywhere leaves every table at its previous snapshot
-    (IceLite's atomic pointer swap), so a re-run of the same landing
-    is safe.  Returns the :func:`incremental_resolve` dict plus the
+    Each commit is atomic (IceLite's pointer swap), and the landing as
+    a whole is IDEMPOTENT under crash-and-rerun: docs already present
+    in ``er_profiles`` are dropped from the delta up front, and labels
+    commit BEFORE profiles — so a crash between the two leaves the
+    delta docs labeled-but-unregistered, and the re-run re-resolves
+    them against the already-merged labels to the same fixpoint before
+    appending their profiles exactly once.  (A re-run of a fully
+    landed batch degenerates to an empty delta: labels re-commit
+    unchanged, nothing appends.)  The only re-run residue is an extra
+    ``er_landing_metrics`` row recording the empty/partial retry —
+    metrics are an audit log, one row per attempt is the honest
+    record.  Returns the :func:`incremental_resolve` dict plus the
     committed metrics frame under ``landing_metrics``."""
     import os as _os
 
@@ -303,6 +344,10 @@ def incremental_resolve_checkpointed(spark: SparkSession, workdir: str,
                      .select("doc_id",
                              F.coalesce("cluster_id", "doc_id")
                              .alias("cluster_id")))
+    # idempotency guard: a doc whose profile is already committed was
+    # landed by a previous (possibly crashed-after-profiles) attempt
+    new_documents = new_documents.join(
+        base_profiles.select("doc_id"), on="doc_id", how="left_anti")
 
     res = incremental_resolve(spark, base_profiles, base_clusters,
                               new_documents, threshold=threshold,
@@ -316,12 +361,15 @@ def incremental_resolve_checkpointed(spark: SparkSession, workdir: str,
                                  & ~F.col("rejected")).cast("long"))
                           .alias("n_accepted"))
                   .first())
-    profiles_t.commit(res["new_profiles"], operation="append",
-                      stage="er_profiles",
-                      summary={"landing-new-docs": n_new})
+    # labels BEFORE profiles: see idempotency note in the docstring —
+    # the reverse order would turn a crash between the commits into
+    # unlabeled docs that the guard above then skips forever
     labels_t.commit(res["clusters"], operation="overwrite",
                     stage="er_labels",
                     summary={"landing-merges": n_merges})
+    profiles_t.commit(res["new_profiles"], operation="append",
+                      stage="er_profiles",
+                      summary={"landing-new-docs": n_new})
     mpath = _os.path.join(workdir, "er_landing_metrics")
     mt = (IceLiteTable.load(mpath) if IceLiteTable.exists(mpath)
           else IceLiteTable.create(mpath))

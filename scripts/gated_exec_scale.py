@@ -40,10 +40,22 @@ def main() -> None:
         attempts += 1
         env = dict(os.environ,
                    EXEC_SCALE_REPS="1", BENCH_REPS="1")
-        out = subprocess.run(
-            [sys.executable,
-             os.path.join(HERE, "scripts", "executor_scale_bench.py")],
-            env=env, capture_output=True, text=True, timeout=3600)
+        try:
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(HERE, "scripts", "executor_scale_bench.py")],
+                env=env, capture_output=True, text=True, timeout=3600)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"attempt": attempts,
+                              "error": "rep timed out (3600s)"}),
+                  flush=True)
+            continue
+        if out.returncode != 0:
+            print(json.dumps({"attempt": attempts,
+                              "error": f"rep rc={out.returncode}",
+                              "stderr_tail": out.stderr[-500:]}),
+                  flush=True)
+            continue
         for line in out.stdout.strip().splitlines():
             if line.startswith("{"):
                 print(line, flush=True)

@@ -231,3 +231,51 @@ def test_incremental_checkpointed_second_landing(spark, tmp_path):
     assert prof_t.read(spark).count() == 3
     m = IceLiteTable.load(os.path.join(wd, "er_landing_metrics"))
     assert m.read(spark).count() == 2
+
+
+def test_incremental_zero_token_doc_gets_singleton(spark):
+    """A delta doc whose spans yield no tokens still appears in the
+    result as its own singleton, matching the batch path's
+    assign_clusters coalesce."""
+    base = _docs(spark, [("a1", "human liver tissue rna alpha")])
+    base_res = resolve_entities(spark, base)
+    incr = incremental_resolve(
+        spark, base_profiles=base_res["profiles"],
+        base_clusters=base_res["clusters"],
+        new_documents=_docs(spark, [("n1", "---"), ("n2", "")]))
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in incr["clusters"].collect()}
+    assert out == {"a1": "a1", "n1": "n1", "n2": "n2"}
+
+
+def test_incremental_checkpointed_relanding_is_idempotent(spark, tmp_path):
+    """Re-running the same landing (operator retry after a crash) must
+    not duplicate profile rows or change the clustering."""
+    import os
+
+    from metasra_pipeline_spark.er.incremental import (
+        incremental_resolve_checkpointed,
+    )
+    from metasra_pipeline_spark.er.resolution import (
+        resolve_entities_checkpointed,
+    )
+    from metasra_pipeline_spark.icelite import IceLiteTable
+
+    wd = str(tmp_path / "er")
+    resolve_entities_checkpointed(spark, _docs(spark, [
+        ("a1", "human liver tissue rna extraction alpha"),
+    ]), wd)
+    batch = [("n1", "human liver tissue rna extraction alpha")]
+    first = incremental_resolve_checkpointed(spark, wd,
+                                             _docs(spark, batch))
+    again = incremental_resolve_checkpointed(spark, wd,
+                                             _docs(spark, batch))
+    part = _partition(IceLiteTable.load(
+        os.path.join(wd, "er_labels")).read(spark).collect())
+    assert part == _partition(first["clusters"].collect())
+    assert part == _partition(again["clusters"].collect())
+    prof_t = IceLiteTable.load(os.path.join(wd, "er_profiles"))
+    assert prof_t.read(spark).count() == 2  # a1 + n1, no duplicates
+    # the retry is recorded as an empty landing in the audit log
+    m = again["landing_metrics"].collect()
+    assert sorted(r["n_new_docs"] for r in m) == [0, 1]
