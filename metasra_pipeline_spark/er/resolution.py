@@ -452,7 +452,8 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
 
 # ------------------------------------------------------------------ 4
 def connected_components(edges: DataFrame, max_iter: int = 20,
-                         checkpoint: bool = True) -> DataFrame:
+                         checkpoint: bool = True,
+                         num_salts: int = 0) -> DataFrame:
     """Alternating large-star / small-star CC → (doc_id, cluster_id).
 
     Each round is two self-join+aggregate passes; converges in
@@ -461,7 +462,22 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     Lazy + the convergence-signature ``first()`` means ONE driver-sync
     job per round — the signature action materializes that round's
     checkpoint in the same job (was 2 jobs/round before round 4).
+
+    Skew: the min-neighbor aggregations partial-aggregate map-side (no
+    salting needed); the edge⋈min-neighbor self-joins are skewed on hub
+    nodes and rely on AQE skew-join splitting by default.  Pass
+    ``num_salts > 0`` to instead salt those joins explicitly
+    (functions/skew.py) — for clusters without AQE or with known a
+    priori hubs; output labels are identical either way
+    (tests/test_er.py::test_cc_salted_join_equivalence).
     """
+    def join_m(E: DataFrame, M: DataFrame) -> DataFrame:
+        if num_salts > 0:
+            from ..functions.skew import salted_join
+            return salted_join(E, M, "u", num_salts,
+                               scatter_cols=["v"])
+        return E.join(M, on="u")
+
     # symmetric edge list (u, v), self-loops implicit via least() below
     e = (edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
          .unionByName(edges.select(F.col("doc_b").alias("u"),
@@ -478,7 +494,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     for _ in range(max_iter):
         # large-star: for v ∈ N(u) with v > u attach v to m(u)
         m = min_neighbor(e)
-        ls = (e.join(m, on="u")
+        ls = (join_m(e, m)
               .where(F.col("v") > F.col("u"))
               .select(F.col("v").alias("u"), F.col("m").alias("v"))
               .where(F.col("u") != F.col("v")))
@@ -487,7 +503,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
              .distinct())
         # small-star: for v ∈ N(u) with v ≤ u attach v (and u) to m(u)
         m = min_neighbor(e)
-        ss_pairs = (e.join(m, on="u")
+        ss_pairs = (join_m(e, m)
                     .where(F.col("v") <= F.col("u"))
                     .select(F.col("v").alias("u"), F.col("m").alias("v"))
                     .unionByName(m.select(F.col("u"), F.col("m").alias("v"))))

@@ -76,3 +76,42 @@ def test_er_f1_gate(spark):
     clusters = res["clusters"]
     assert clusters.count() == 300
     assert clusters.select("doc_id").distinct().count() == 300
+
+
+def test_cc_salted_join_equivalence(spark):
+    """Explicit salting of the CC self-joins (functions/skew.py) must
+    yield the same labels as the AQE-default path, on a graph with a
+    deliberate hub (one node linked to 80 others) plus random edges."""
+    import random
+    rng = random.Random(11)
+    nodes = [f"s{i:03d}" for i in range(120)]
+    edges = [("s000", n) for n in nodes[1:81]]  # hub: degree 80
+    edges += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    e_df = spark.createDataFrame(edges, "doc_a: string, doc_b: string")
+    plain = {r["doc_id"]: r["cluster_id"]
+             for r in connected_components(e_df).collect()}
+    salted = {r["doc_id"]: r["cluster_id"]
+              for r in connected_components(e_df, num_salts=4).collect()}
+    assert salted == plain and len(plain) > 0
+
+
+def test_salted_join_multiset_equality(spark):
+    """salted_join == plain join (row multiset) for inner and left, on
+    keys with skewed fan-out and keys absent from the small side."""
+    from collections import Counter
+
+    from metasra_pipeline_spark.functions.skew import salted_join
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(200)]
+        + [("cold", i) for i in range(3)]
+        + [("orphan", i) for i in range(2)],
+        "k: string, payload: int")
+    small = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unused", "U")], "k: string, tag: string")
+    for how in ("inner", "left"):
+        exp = Counter(map(tuple, big.join(small, on="k", how=how).collect()))
+        got = Counter(map(tuple,
+                          salted_join(big, small, "k", num_salts=5,
+                                      how=how).collect()))
+        assert got == exp, how
