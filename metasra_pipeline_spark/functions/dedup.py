@@ -216,17 +216,29 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4,
               .where(F.col("_n") <= max_bucket)
               .select("band", "bval"))
         ex = ex.join(ok, on=["band", "bval"], how="left_semi")
-    a = ex.select(F.col(id_col).alias("id_a"),
-                  F.col("_vd").alias("_va"), F.col("_nrm").alias("_na"),
-                  "band", "bval")
-    b = ex.select(F.col(id_col).alias("id_b"),
-                  F.col("_vd").alias("_vb"), F.col("_nrm").alias("_nb"),
-                  "band", "bval")
-    return (a.join(b, on=["band", "bval"])
+    # candidate ids first, vectors later: the band self-join fans a pair
+    # out once per agreeing band and would compute the HOF dot product
+    # (and shuffle the 64-double arrays) per copy; generating DISTINCT
+    # (id_a, id_b) from an id-only join and re-attaching the hoisted
+    # (_vd, _nrm) afterwards computes each cosine exactly once and keeps
+    # vectors out of the widest shuffle.  FP-identical per pair (same
+    # arrays, same fold order), so the hash-exact oracle is unaffected.
+    a = ex.select(F.col(id_col).alias("id_a"), "band", "bval")
+    b = ex.select(F.col(id_col).alias("id_b"), "band", "bval")
+    cand = (a.join(b, on=["band", "bval"])
             .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    vecs = (assigned
+            .withColumn("_vd", vec_d)
+            .withColumn("_nrm", _norm(F.col("_vd")))
+            .select(id_col, "_vd", "_nrm"))
+    va = vecs.select(F.col(id_col).alias("id_a"),
+                     F.col("_vd").alias("_va"), F.col("_nrm").alias("_na"))
+    vb = vecs.select(F.col(id_col).alias("id_b"),
+                     F.col("_vd").alias("_vb"), F.col("_nrm").alias("_nb"))
+    return (cand.join(va, on="id_a").join(vb, on="id_b")
             .withColumn("cosine",
                         F.round(_dot(F.col("_va"), F.col("_vb"))
                                 / (F.col("_na") * F.col("_nb")), round_to))
             .where(F.col("cosine") >= threshold)
-            .groupBy("id_a", "id_b")
-            .agg(F.max("cosine").alias("cosine")))
+            .select("id_a", "id_b", "cosine"))
