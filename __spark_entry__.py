@@ -7,9 +7,13 @@ similarity-search / text-analysis / entity-resolution).  ``oracle_sql()``
 holds the DuckDB-equivalent ANSI SQL; tokenization and hashing are
 engine-portable by construction (regex splits + md5-derived hashes).
 
-Queries q90+ are non-SQL-expressible (iterative connected components on
-synthesized span documents, the full p_53 mapping pipeline) and carry no
-oracle — the driver records rows-only checks for them.
+Queries q90/q91/q92 are non-SQL-expressible (IDF-kernel scoring +
+iterative connected components on synthesized span documents, the full
+p_53 mapping pipeline) and carry no oracle — the driver records
+rows-only checks for them.  q93_er_native closes that gap for the ER
+family: the same blocking→scoring→clustering pipeline in a
+deterministic native-scorer configuration IS DuckDB-oracled hash-exact
+(recursive-CTE transitive closure, explicit Winkler prefix boost).
 """
 
 from __future__ import annotations
@@ -633,12 +637,11 @@ def _q40_most_specific(spark, sf):
                     "term_id"))
 
 
-# ------------------------------------------- non-SQL-expressible (rows-only)
-def _q90_er_resolve(spark, sf):
-    """Full blocking→scoring→CC entity resolution over span documents
-    synthesized deterministically from the sf `documents` table."""
-    from metasra_pipeline_spark.er.resolution import resolve_entities
-    docs = _t(spark, sf, "documents").select(
+def _er_span_docs(spark, sf):
+    """Interleaved span documents (input_hint shape) synthesized
+    deterministically from the sf `documents` table — shared corpus for
+    q90/q92/q93."""
+    return _t(spark, sf, "documents").select(
         F.concat(F.lit("D"), F.lpad("doc_id", 8, "0")).alias("doc_id"),
         F.array(
             F.struct(F.lit("text").alias("kind"),
@@ -650,7 +653,27 @@ def _q90_er_resolve(spark, sf):
                      F.lit("").alias("media_ref"),
                      F.lit(1).alias("offset")),
         ).alias("spans"))
-    return resolve_entities(spark, docs)["clusters"]
+
+
+def _q93_er_native(spark, sf):
+    """ER with the native-only scorer (resolve_entities_native): the
+    whole blocking→scoring→threshold→connected-components pipeline is
+    DuckDB-oracled hash-exact — blocking keys, hot-key cap,
+    meta-blocking, the 0.65·jaccard + 0.15·lev-ratio + 0.2·JW composite
+    (explicit Winkler prefix boost in SQL), the id-conflict cap, exact-
+    dup star edges, and a recursive-CTE transitive closure."""
+    from metasra_pipeline_spark.er.resolution import resolve_entities_native
+    docs = _er_span_docs(spark, sf)
+    return (resolve_entities_native(spark, docs)["clusters"]
+            .select("doc_id", "cluster_id"))
+
+
+# ------------------------------------------- non-SQL-expressible (rows-only)
+def _q90_er_resolve(spark, sf):
+    """Full blocking→scoring→CC entity resolution over span documents
+    synthesized deterministically from the sf `documents` table."""
+    from metasra_pipeline_spark.er.resolution import resolve_entities
+    return resolve_entities(spark, _er_span_docs(spark, sf))["clusters"]
 
 
 def _q92_er_incremental(spark, sf):
@@ -661,18 +684,7 @@ def _q92_er_incremental(spark, sf):
     partition equality with the full batch run)."""
     from metasra_pipeline_spark.er.incremental import incremental_resolve
     from metasra_pipeline_spark.er.resolution import resolve_entities
-    docs = _t(spark, sf, "documents").select(
-        F.concat(F.lit("D"), F.lpad("doc_id", 8, "0")).alias("doc_id"),
-        F.array(
-            F.struct(F.lit("text").alias("kind"),
-                     F.concat(F.lit("content: "), F.col("text")).alias("text"),
-                     F.lit("").alias("media_ref"),
-                     F.lit(0).alias("offset")),
-            F.struct(F.lit("text").alias("kind"),
-                     F.concat(F.lit("source: "), F.col("source")).alias("text"),
-                     F.lit("").alias("media_ref"),
-                     F.lit(1).alias("offset")),
-        ).alias("spans"))
+    docs = _er_span_docs(spark, sf)
     base = docs.where(F.pmod(F.hash("doc_id"), F.lit(4)) < 3)
     delta = docs.where(F.pmod(F.hash("doc_id"), F.lit(4)) == 3)
     base_res = resolve_entities(spark, base)
@@ -766,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_cosine_neardup": _q38_cosine_neardup,
         "q39_asof_join": _q39_asof_join,
         "q40_most_specific": _q40_most_specific,
+        "q93_er_native": _q93_er_native,
         "q90_er_resolve": _q90_er_resolve,
         "q92_er_incremental": _q92_er_incremental,
         "q91_mapping_pipeline": _q91_mapping_pipeline,
@@ -788,6 +801,15 @@ def _cvcl_syn_vals() -> str:
 
 _ATCC_KEYS_SQL = ", ".join(f"'{k}'" for k in _ATCC_KEYS)
 _ATCC_VALS_SQL = ", ".join(f"'{v}'" for v in _ATCC_VALS)
+
+
+def _er_stop_sql() -> str:
+    from metasra_pipeline_spark.er.resolution import _STOPWORDS
+    return ", ".join("'" + w.replace("'", "''") + "'"
+                     for w in sorted(_STOPWORDS))
+
+
+_ER_STOP_SQL = _er_stop_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1289,4 +1311,104 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM has_desc h
                               WHERE h.doc_id = m.doc_id
                                 AND h.term_id = m.term_id)""",
+        # Full native-scorer ER: blocking → meta-blocking → composite
+        # scoring (explicit Winkler boost — DuckDB's builtin
+        # jaro_winkler_similarity boosts only when jaro > 0.7, ours is
+        # unconditional) → threshold → exact-dup star edges →
+        # recursive-CTE transitive closure.  Mirrors
+        # er/resolution.py:resolve_entities_native exactly.
+        "q93_er_native": f"""
+            WITH RECURSIVE tk AS (
+              SELECT concat('D', lpad(CAST(doc_id AS VARCHAR), 8, '0'))
+                       AS doc_id,
+                     unnest(list_filter(regexp_split_to_array(
+                       lower(text), '[^0-9a-z+'']+'), t -> len(t) > 0))
+                       AS tok
+              FROM documents
+              UNION ALL
+              SELECT concat('D', lpad(CAST(doc_id AS VARCHAR), 8, '0')),
+                     unnest(list_filter(regexp_split_to_array(
+                       lower(source), '[^0-9a-z+'']+'), t -> len(t) > 0))
+              FROM documents),
+            prof AS (
+              SELECT doc_id,
+                     array_to_string(list_sort(list(DISTINCT tok)), ' ')
+                       AS profile
+              FROM tk GROUP BY doc_id),
+            reps AS (
+              SELECT profile, min(doc_id) AS doc_id,
+                     string_split(profile, ' ') AS toks
+              FROM prof GROUP BY profile),
+            keys AS (
+              SELECT doc_id, unnest(toks) AS key FROM reps),
+            kept AS (
+              SELECT doc_id, key FROM keys
+              WHERE len(key) >= 3 AND key NOT IN ({_ER_STOP_SQL})
+                AND key NOT IN (SELECT key FROM keys
+                                GROUP BY key
+                                HAVING count(DISTINCT doc_id) > 200)),
+            cand AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM kept a JOIN kept b ON a.key = b.key
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            sc0 AS (
+              SELECT c.doc_a, c.doc_b,
+                     ra.profile AS pa, rb.profile AS pb,
+                     ra.toks AS ta, rb.toks AS tb,
+                     CAST(len(list_intersect(ra.toks, rb.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(ra.toks, rb.toks)))
+                       AS j0
+              FROM cand c
+              JOIN reps ra ON c.doc_a = ra.doc_id
+              JOIN reps rb ON c.doc_b = rb.doc_id),
+            sc1 AS (
+              SELECT *,
+                     CASE WHEN greatest(len(pa), len(pb)) = 0 THEN 1.0
+                          ELSE 1.0 - levenshtein(pa, pb)
+                               / CAST(greatest(len(pa), len(pb)) AS DOUBLE)
+                     END AS lr
+              FROM sc0 WHERE j0 >= 0.2),
+            sc2 AS (
+              SELECT *, 0.65 * j0 + 0.15 * lr AS partial,
+                     jaro_similarity(pa, pb) AS jaro,
+                     CASE WHEN substr(pa, 1, 4) = substr(pb, 1, 4) THEN 4
+                          WHEN substr(pa, 1, 3) = substr(pb, 1, 3) THEN 3
+                          WHEN substr(pa, 1, 2) = substr(pb, 1, 2) THEN 2
+                          WHEN substr(pa, 1, 1) = substr(pb, 1, 1) THEN 1
+                          ELSE 0 END AS prefix,
+                     (len(list_filter(ta, t -> NOT list_contains(tb, t)
+                            AND regexp_matches(t, '[0-9]'))) > 0
+                      AND len(list_filter(tb, t -> NOT list_contains(ta, t)
+                            AND regexp_matches(t, '[0-9]'))) > 0)
+                       AS conflict
+              FROM sc1),
+            sc3 AS (
+              SELECT doc_a, doc_b,
+                     CASE WHEN partial + 0.2 >= 0.60
+                          THEN partial + 0.2 * (jaro + prefix * 0.1
+                                                * (1.0 - jaro))
+                          ELSE partial END AS full_score, conflict
+              FROM sc2),
+            edges AS (
+              SELECT doc_a, doc_b FROM sc3
+              WHERE (CASE WHEN full_score > 0.60 AND conflict THEN 0.60
+                          ELSE full_score END) >= 0.65),
+            star AS (
+              SELECT r.doc_id AS doc_a, p.doc_id AS doc_b
+              FROM prof p JOIN reps r ON p.profile = r.profile
+              WHERE p.doc_id <> r.doc_id),
+            e0 AS (
+              SELECT doc_a AS u, doc_b AS v FROM edges
+              UNION SELECT doc_b, doc_a FROM edges
+              UNION SELECT doc_a, doc_b FROM star
+              UNION SELECT doc_b, doc_a FROM star),
+            docs AS (SELECT DISTINCT doc_id FROM prof),
+            r AS (
+              SELECT doc_id AS u, doc_id AS v FROM docs
+              UNION
+              SELECT r.u, e0.v FROM r JOIN e0 ON r.v = e0.u
+            )
+            SELECT u AS doc_id, min(v) AS cluster_id
+            FROM r GROUP BY u""",
     }

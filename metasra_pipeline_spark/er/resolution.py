@@ -88,8 +88,8 @@ def blocking_keys(profiles: DataFrame, ngram: int = 4,
     else:
         keys = tok_keys.distinct()
     # NOTE: exact duplicates are NOT entrusted to blocking at all —
-    # exact_duplicate_edges() links identical profiles directly (O(n)
-    # star edges per dup group, immune to both the hot-key cap and the
+    # _doc_rep_star() links identical profiles directly (O(n) star
+    # edges per dup group, immune to both the hot-key cap and the
     # meta-blocking min_shared prune).  Blocking only has to recall
     # non-identical near-duplicates.
     sizes = keys.groupBy("key").agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -98,34 +98,11 @@ def blocking_keys(profiles: DataFrame, ngram: int = 4,
     return kept, hot
 
 
-def exact_duplicate_edges(profiles: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, score=1.0) star edges linking every doc whose
-    normalized profile is byte-identical to the group's min doc_id.
-
-    Exact duplicates are the one pair class where blocking recall must
-    be PERFECT (the whole point of dedup), yet they are exactly where
-    blocking degrades: dup-heavy keys trip the hot-key cap, and a
-    profile of all-short/stopword tokens produces no token key at all.
-    A direct groupBy(profile) star sidesteps both — one shuffle, O(n)
-    edges per duplicate group (vs O(n²) pairwise), and connected
-    components makes the group transitive for free."""
-    from pyspark.sql import Window
-    w = Window.partitionBy("profile")
-    return (profiles
-            .select("doc_id", "profile",
-                    F.min("doc_id").over(w).alias("rep"))
-            .where(F.col("doc_id") != F.col("rep"))
-            .select(F.col("rep").alias("doc_a"),
-                    F.col("doc_id").alias("doc_b"),
-                    F.lit(1.0).alias("score"),
-                    F.lit(False).alias("rejected")))
-
-
 def representative_profiles(profiles: DataFrame) -> DataFrame:
     """One row per DISTINCT profile (the group's min doc_id).
 
     Dedup-before-ER: identical-profile docs are linked by
-    exact_duplicate_edges star edges, so blocking / candidate pairs /
+    _doc_rep_star star edges, so blocking / candidate pairs /
     scoring only ever need ONE member per identical-profile group — a
     non-rep member scores identically to its rep against every other
     doc, and connected components merges the star.  In dup-heavy
@@ -169,7 +146,7 @@ def candidate_pairs(keys: DataFrame, min_shared: int = 2) -> DataFrame:
     distinctive overlap is a single short token (<6 chars, so it yields
     no char-n-gram keys) share one block and are pruned.  Exact
     duplicates are unaffected — they never rely on blocking (see
-    exact_duplicate_edges)."""
+    _doc_rep_star)."""
     a = keys.alias("a")
     b = keys.alias("b")
     pairs = (a.join(b, on="key")
@@ -379,12 +356,7 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
     else:
         enriched = enriched.withColumn("lr", F.expr(lr_expr))
 
-    from ..functions.similarity import (
-        ID_CONFLICT_CAP,
-        id_conflict,
-        jaro_winkler,
-        soft_weighted_jaccard,
-    )
+    from ..functions.similarity import ID_CONFLICT_CAP
 
     # broadcast the idf dict: a plain closure capture re-serializes it
     # into every task and unpickles it per task; a broadcast ships and
@@ -395,8 +367,19 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
     rb = reject_below
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Whole-batch numpy scoring — NO per-row Python anywhere
+        (BASELINE.json input_hint).  The kernels live in
+        functions/similarity_vec.py; their scalar executable spec in
+        functions/similarity.py is equivalence-pinned by
+        tests/test_similarity_vec.py."""
         idf_local = bc_idf.value if bc_idf is not None else None
         import numpy as np
+
+        from ..functions.similarity_vec import (
+            batch_id_conflict,
+            batch_jaro_winkler,
+            batch_soft_weighted_jaccard,
+        )
 
         for pdf in batches:
             n = len(pdf)
@@ -405,7 +388,7 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
             eq = pa_v == pb_v  # identical profiles: score 1.0, no kernel
             if rb is not None:
                 # the native upper bound already ran JVM-side: rows
-                # below the decision threshold skip per-row Python
+                # below the decision threshold skip the batch kernels
                 # entirely (vectorized mask); their reported score is
                 # the bound minus the JW cap (an UPPER bound on the
                 # true partial score — documented in score_pairs).
@@ -417,33 +400,44 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
                 scores = np.where(eq, 1.0, 0.0)
                 rejected = np.zeros(n, dtype=bool)
                 todo = np.nonzero(~eq)[0]
-            ta_v = pdf["toks_a"].to_numpy()
-            tb_v = pdf["toks_b"].to_numpy()
-            lr_v = pdf["lr"].to_numpy(dtype=float)
-            for i in todo:
-                ta, tb, lr = ta_v[i], tb_v[i], lr_v[i]
+            if todo.size:
+                lr_t = pdf["lr"].to_numpy(dtype=float)[todo]
+                conflict = None
                 if idf_local is None:
-                    from ..functions.similarity import token_set_jaccard
-                    jac = token_set_jaccard(ta, tb)
+                    # exact token-set Jaccard ≡ the native j0 column —
+                    # already computed JVM-side, zero Python work
+                    jac = pdf["j0"].to_numpy(dtype=float)[todo]
                 else:
-                    jac = soft_weighted_jaccard(ta, tb, idf_local,
-                                                default_idf)
-                partial = 0.65 * jac + 0.15 * lr
+                    jac, conflict = batch_soft_weighted_jaccard(
+                        pdf["toks_a"].to_numpy()[todo],
+                        pdf["toks_b"].to_numpy()[todo],
+                        idf_local, default_idf)
+                partial = 0.65 * jac + 0.15 * lr_t
+                sc_t = partial.copy()
                 # JW can add at most 0.2 — skip it when the pair cannot
                 # reach the decision region anyway
-                if partial + 0.2 < 0.60:
-                    score = partial
-                else:
-                    score = partial + 0.2 * jaro_winkler(pa_v[i], pb_v[i])
-                    if score > ID_CONFLICT_CAP and id_conflict(ta, tb):
-                        score = ID_CONFLICT_CAP
-                scores[i] = score
+                need = partial + 0.2 >= 0.60
+                if need.any():
+                    rows = todo[need]
+                    jw = batch_jaro_winkler(pa_v[rows], pb_v[rows])
+                    full = partial[need] + 0.2 * jw
+                    if conflict is None:
+                        conf = batch_id_conflict(
+                            pdf["toks_a"].to_numpy()[rows],
+                            pdf["toks_b"].to_numpy()[rows])
+                    else:
+                        conf = conflict[need]
+                    sc_t[need] = np.where(
+                        (full > ID_CONFLICT_CAP) & conf,
+                        ID_CONFLICT_CAP, full)
+                scores[todo] = sc_t
             yield pd.DataFrame({"doc_a": pdf["doc_a"],
                                 "doc_b": pdf["doc_b"],
                                 "score": scores,
                                 "rejected": rejected})
 
-    cols = ["doc_a", "doc_b", "prof_a", "prof_b", "toks_a", "toks_b", "lr"]
+    cols = ["doc_a", "doc_b", "prof_a", "prof_b", "toks_a", "toks_b", "lr",
+            "j0"]
     if aug:
         cols.append("upper")
     return (enriched.select(*cols)
@@ -545,6 +539,41 @@ def cluster_terms(clusters: DataFrame, mapped_terms: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------------ harness
+def resolve_entities_native(spark: SparkSession, documents: DataFrame,
+                            threshold: float = 0.65,
+                            max_block: int = 200,
+                            checkpoint: bool = True) -> dict[str, DataFrame]:
+    """ER with the NATIVE-ONLY scorer — a deterministic, SQL-expressible
+    configuration used as the DuckDB-oracled correctness anchor for the
+    full pipeline (driver query q93_er_native).
+
+    Same operators as :func:`resolve_entities` (dedup-before-blocking,
+    token blocking with hot-key cap, meta-blocking min_shared=2,
+    star-contracted connected components); the scorer drops the IDF
+    SoftTFIDF kernel for the closed-form composite
+    ``0.65·exact-token-Jaccard + 0.15·levenshtein-ratio + 0.2·JW`` —
+    every term replicable in ANSI-ish SQL (DuckDB ``jaro_similarity`` +
+    explicit Winkler prefix boost, native ``levenshtein``, list ops),
+    so blocking, scoring, thresholding AND the transitive clustering are
+    all checked hash-exact against an independent engine.  ``ngram=0``
+    keeps the oracle's blocking CTE to token keys.
+    """
+    profiles = doc_profiles(documents)
+    if checkpoint:
+        profiles = profiles.localCheckpoint(eager=True)
+    reps = representative_profiles(profiles)
+    if checkpoint:
+        reps = reps.localCheckpoint(eager=True)
+    keys, hot = blocking_keys(reps, ngram=0, max_block=max_block)
+    pairs = candidate_pairs(keys)
+    scored = score_pairs(pairs, reps, idf=None, reject_below=None)
+    star, labels = _star_and_labels(profiles, reps, scored, threshold,
+                                    checkpoint=checkpoint)
+    clusters = assign_clusters(documents, labels)
+    return {"profiles": profiles, "pairs": scored.unionByName(star),
+            "clusters": clusters, "hot_keys": hot}
+
+
 def resolve_entities(spark: SparkSession, documents: DataFrame,
                      threshold: float = 0.65, ngram: int = 4,
                      max_block: int = 200,

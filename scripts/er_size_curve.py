@@ -38,7 +38,9 @@ import sys, time
 sys.path.insert(0, {here!r})
 from metasra_pipeline_spark.session import get_spark
 from metasra_pipeline_spark.datagen import synth_documents
-from metasra_pipeline_spark.er.resolution import resolve_entities
+from metasra_pipeline_spark.er.resolution import (
+    resolve_entities, doc_profiles, representative_profiles,
+    blocking_keys, candidate_pairs)
 spark = get_spark("er_size_curve", cores={cpus}, shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
 docs = (synth_documents(spark, {n}, seed=43)
@@ -47,35 +49,60 @@ t0 = time.time()
 res = resolve_entities(spark, docs)
 res["clusters"].write.format("noop").mode("overwrite").save()
 print("WALL", round(time.time() - t0, 1))
+# UNTIMED: measured candidate-pair volume per size (ADVICE: log the
+# actual pair counts so O(n) is measured from the plan, not inferred
+# from wall time).  Recomputes blocking outside the timed window.
+if {count_pairs!r} == "1":
+    reps = representative_profiles(doc_profiles(docs))
+    keys, hot = blocking_keys(reps)
+    n_cand = candidate_pairs(keys).count()
+    n_scored = res["pairs"].count()
+    n_hot = hot.count()
+    print("PAIRS", n_cand, n_scored, n_hot)
 """
 
 
-def one_rep(n: int) -> tuple[float, float]:
+def one_rep(n: int, count_pairs: bool = False
+            ) -> tuple[float, float, list[int] | None]:
     s0 = _steal_jiffies()
     env = dict(os.environ)
     env["SPARK_LOCAL_DIRS"] = "/tmp"
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER.format(here=HERE, cpus=CPUS, n=n)],
+        [sys.executable, "-c",
+         RUNNER.format(here=HERE, cpus=CPUS, n=n,
+                       count_pairs="1" if count_pairs else "0")],
         capture_output=True, text=True, env=env, cwd=HERE, check=True)
     wall = float([ln for ln in out.stdout.splitlines()
                   if ln.startswith("WALL")][-1].split()[1])
-    return wall, round((_steal_jiffies() - s0) / 100, 1)
+    pairs = None
+    if count_pairs:
+        pairs = [int(x) for x in
+                 [ln for ln in out.stdout.splitlines()
+                  if ln.startswith("PAIRS")][-1].split()[1:]]
+    return wall, round((_steal_jiffies() - s0) / 100, 1), pairs
 
 
 def main() -> None:
     probe0 = silicon_probe(2, 8)
     rows = []
     for n in SIZES:
-        walls, steals = [], []
-        for _ in range(REPS):
-            w, s = one_rep(n)
+        walls, steals, pair_counts = [], [], None
+        for rep in range(REPS):
+            # pair counts are deterministic per size: count on rep 0 only
+            w, s, p = one_rep(n, count_pairs=(rep == 0))
             walls.append(w)
             steals.append(s)
-            print(json.dumps({"n": n, "wall_s": w, "steal_s": s}),
-                  flush=True)
+            if p is not None:
+                pair_counts = p
+            print(json.dumps({"n": n, "wall_s": w, "steal_s": s,
+                              "pairs": p}), flush=True)
         best = min(walls)
+        cand, scored, hot = pair_counts or (0, 0, 0)
         rows.append({"docs": n, "wall_s": best,
                      "docs_per_sec": round(n / best, 1),
+                     "candidate_pairs": cand, "scored_pairs": scored,
+                     "hot_keys_dropped": hot,
+                     "pairs_per_doc": round(cand / n, 2),
                      "walls": walls, "steal_s": steals})
     probe1 = silicon_probe(2, 8)
 
@@ -87,21 +114,27 @@ def main() -> None:
         + f" — min-of-{REPS} per size, fresh JVM per rep, "
         f"probe before/after: {probe0} / {probe1}.",
         "",
-        "| docs | wall (s) | docs/s | cost vs %dk (x) | size (x) |"
+        "| docs | wall (s) | docs/s | cost vs %dk (x) | size (x) | "
+        "candidate pairs | pairs/doc |"
         % (base["docs"] // 1000),
-        "|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
-        lines.append("| {:,} | {} | {:,} | {:.2f} | {:.1f} |".format(
-            r["docs"], r["wall_s"], r["docs_per_sec"],
-            r["wall_s"] / base["wall_s"], r["docs"] / base["docs"]))
+        lines.append(
+            "| {:,} | {} | {:,} | {:.2f} | {:.1f} | {:,} | {} |".format(
+                r["docs"], r["wall_s"], r["docs_per_sec"],
+                r["wall_s"] / base["wall_s"], r["docs"] / base["docs"],
+                r["candidate_pairs"], r["pairs_per_doc"]))
     lines += [
         "",
-        "Cost growing no faster than size (docs/s flat or rising) means "
-        "the blocking/meta-blocking caps hold: candidate pairs stay "
-        "O(n) and no all-pairs term is hiding in the plan.  Rising "
-        "docs/s at larger n is the fixed per-job scheduler floor "
-        "amortizing — the regime a 10^12-doc corpus lives in.",
+        "The candidate-pair column is MEASURED from the blocking plan "
+        "(untimed recount per size), so pair-volume linearity is "
+        "observed directly rather than inferred from wall time: "
+        "pairs/doc flat-or-falling with size means the blocking caps + "
+        "meta-blocking hold and no all-pairs term is hiding.  Wall "
+        "times are consistent with O(n) candidate pairs; rising docs/s "
+        "at larger n is the fixed per-job scheduler floor amortizing — "
+        "the regime a 10^12-doc corpus lives in.",
         "",
         "```json",
         json.dumps({"rows": rows, "probe_before": probe0,

@@ -115,3 +115,24 @@ def test_salted_join_multiset_equality(spark):
                           salted_join(big, small, "k", num_salts=5,
                                       how=how).collect()))
         assert got == exp, how
+
+
+def test_resolve_entities_native_covers_and_is_deterministic(spark):
+    """The SQL-expressible native-scorer config (q93's engine side):
+    every doc labeled exactly once, labels deterministic across runs,
+    exact-duplicate docs always co-clustered (star edges bypass
+    blocking), and it resolves the same synthetic entities as the
+    kernel config at high F1."""
+    from metasra_pipeline_spark.er.resolution import resolve_entities_native
+    gen = synth_documents(spark, 300, seed=42).localCheckpoint()
+    docs = gen.select("doc_id", "spans")
+    truth = gen.select("doc_id", "entity_id")
+    res = resolve_entities_native(spark, docs)
+    clusters = res["clusters"]
+    assert clusters.count() == 300
+    assert clusters.select("doc_id").distinct().count() == 300
+    again = resolve_entities_native(spark, docs)["clusters"]
+    assert {tuple(r) for r in clusters.collect()} \
+        == {tuple(r) for r in again.collect()}
+    m = pairwise_f1(res["pairs"], truth, threshold=0.65)
+    assert m["f1"] >= 0.95, m
