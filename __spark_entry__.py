@@ -304,8 +304,23 @@ def _q23_quality(spark, sf):
     return TS.quality_scores(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+#: deterministic per-lang marker suffix appended to the synthetic
+#: documents (their text is English-ish token soup regardless of the
+#: ``lang`` column), so the oracled q24 output exercises all four
+#: stopword profiles AND the 'unknown' branch — mirrored verbatim in
+#: the DuckDB oracle
+_LANG_AUG_CASE = ("CASE lang"
+                  " WHEN 'de' THEN repeat(' der die und das', 4)"
+                  " WHEN 'fr' THEN repeat(' le les et est', 4)"
+                  " WHEN 'es' THEN repeat(' el que los esta', 4)"
+                  " ELSE '' END")
+
+
 def _q24_lang_id(spark, sf):
-    return (TS.lang_id(_t(spark, sf, "documents"), "doc_id", "text")
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.expr(_LANG_AUG_CASE)).alias("text"))
+    return (TS.lang_id(docs, "doc_id", "text")
             .groupBy("pred_lang").agg(F.count("*").alias("n_docs")))
 
 
@@ -1048,9 +1063,11 @@ def oracle_sql() -> dict[str, str]:
                      AS quality
             FROM agg WHERE n > 0""",
         "q24_lang_id": f"""
-            WITH ts AS (SELECT doc_id, list_filter(
+            WITH aug AS (SELECT doc_id,
+                   text || {_LANG_AUG_CASE} AS text FROM documents),
+            ts AS (SELECT doc_id, list_filter(
                    regexp_split_to_array(lower(text), '[^0-9a-z]+'),
-                   t -> len(t) > 0) AS ts FROM documents),
+                   t -> len(t) > 0) AS ts FROM aug),
             sc AS (SELECT doc_id,
                      len(list_filter(ts, t -> t IN ({en}))) AS s_en,
                      len(list_filter(ts, t -> t IN ({de}))) AS s_de,

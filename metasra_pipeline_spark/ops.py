@@ -168,6 +168,55 @@ class IceLiteSnapshotter(Snapshotter):
         return t.read(self.spark)
 
 
+class IcebergSnapshotter(Snapshotter):
+    """The SAME stage-boundary contract against a real Apache Iceberg
+    catalog — the production target the IceLite commit log stands in
+    for in this jar-less sandbox.
+
+    Each cut is one atomic ``writeTo(ident).createOrReplace()`` (an
+    Iceberg snapshot commit: metadata + manifest + catalog pointer
+    swap — the exact properties IceLite re-implements); resume reads
+    the committed table instead of recomputing.  Table identifiers are
+    ``<catalog>.<namespace>.<stage>``, so swapping
+    :class:`IceLiteSnapshotter` → :class:`IcebergSnapshotter` is a
+    CONFIG-ONLY change for any pipeline written against the
+    :class:`Snapshotter` seam (resolve_entities_checkpointed,
+    run_checkpointed_pipeline).  Conformance is pinned by
+    tests/test_snapshotter_contract.py, which runs the same
+    compute/resume/overwrite scenarios against every implementation and
+    skips this one only when no Iceberg catalog is configured
+    (``iceberg_available``) — enable it with the standard runtime jar +
+    catalog conf:
+
+        spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-...
+        spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog
+        spark.sql.catalog.local.type=hadoop
+        spark.sql.catalog.local.warehouse=/path/to/warehouse
+    """
+
+    def __init__(self, spark: SparkSession, namespace: str,
+                 catalog: str = "local"):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        self.stages_resumed: list[str] = []
+        self.stages_computed: list[str] = []
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS "
+                  f"{catalog}.{namespace}")
+
+    def _ident(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def cut(self, df: DataFrame, name: str) -> DataFrame:
+        ident = self._ident(name)
+        if self.spark.catalog.tableExists(ident):
+            self.stages_resumed.append(name)
+            return self.spark.table(ident)
+        df.writeTo(ident).createOrReplace()
+        self.stages_computed.append(name)
+        return self.spark.table(ident)
+
+
 def run_icelite_pipeline(spark: SparkSession, documents: DataFrame,
                          ref, workdir: str):
     """The mapping pipeline with every stage boundary committed as an

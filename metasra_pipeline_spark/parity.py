@@ -192,6 +192,23 @@ def _prf(tp: int, fp: int, fn: int) -> dict[str, float]:
             "tp": tp, "fp": fp, "fn": fn}
 
 
+def _reachable_prf(tp: int, fp_raw: int, fn: int) -> dict[str, float]:
+    """P/R/F1 where only RECALL is restricted to the reachable universe.
+
+    The fp term is the raw false-positive count — predictions are
+    reachable by construction (they arise from lexicon text present in
+    the sample), so no fp can be excluded and a "reachable precision"
+    distinct from raw precision does not exist.  The keys say so:
+    ``precision_raw`` (identical to ``terms_micro.precision``) and
+    ``fp_raw``; ``f1`` therefore mixes raw precision with reachable
+    recall, which is exactly the reachable-F1 quoted in PARITY.md."""
+    p = tp / (tp + fp_raw) if tp + fp_raw else 1.0
+    r = tp / (tp + fn) if tp + fn else 1.0
+    return {"precision_raw": round(p, 4), "recall": round(r, 4),
+            "f1": round(2 * p * r / (p + r), 4) if p + r else 0.0,
+            "tp": tp, "fp_raw": fp_raw, "fn": fn}
+
+
 SPLIT_DIR = "/root/reference/analysis_data/predict_sample_type"
 
 
@@ -326,7 +343,11 @@ def score_parity(spark: SparkSession,
     return {
         "n_samples": len(samples),
         "terms_micro": _prf(tp, fp, fn),
-        "terms_reachable_micro": _prf(rtp, rfp, rfn),
+        # recall-restricted metric: fp is the RAW count (see docstring —
+        # every prediction is reachable by construction, so no fp can be
+        # excluded); keys are named to say so instead of implying a
+        # precision computed over a restricted universe
+        "terms_reachable_micro": _reachable_prf(rtp, rfp, rfn),
         "doc_exact_fraction": round(exact_docs / len(samples), 4),
         "real_values_micro": _prf(rv_tp, rv_fp, rv_fn),
         "per_doc": per_doc,

@@ -279,3 +279,46 @@ def test_incremental_checkpointed_relanding_is_idempotent(spark, tmp_path):
     # the retry is recorded as an empty landing in the audit log
     m = again["landing_metrics"].collect()
     assert sorted(r["n_new_docs"] for r in m) == [0, 1]
+
+
+def test_three_successive_landings_match_batch(spark, tmp_path):
+    """Production cadence: resolve a base quarter, then land three
+    successive delta quarters through the IceLite workdir.  The final
+    committed partition must equal one full batch run over the whole
+    corpus, labels must stay one-per-doc after every landing, and the
+    landing-metrics log holds one row per landing."""
+    import os
+
+    from metasra_pipeline_spark.er.incremental import (
+        incremental_resolve_checkpointed,
+    )
+    from metasra_pipeline_spark.er.resolution import (
+        resolve_entities,
+        resolve_entities_checkpointed,
+    )
+    from metasra_pipeline_spark.icelite import IceLiteTable
+
+    gen = synth_documents(spark, 300, seed=42).localCheckpoint()
+    docs = gen.select("doc_id", "spans")
+    quarters = [docs.where(F.pmod(F.hash("doc_id"), F.lit(4)) == q)
+                for q in range(4)]
+
+    wd = str(tmp_path / "er")
+    resolve_entities_checkpointed(spark, quarters[0], wd)
+    n_seen = quarters[0].count()
+    for q in (1, 2, 3):
+        res = incremental_resolve_checkpointed(spark, wd, quarters[q])
+        n_seen += quarters[q].count()
+        labeled = res["clusters"]
+        assert labeled.count() == n_seen
+        assert labeled.select("doc_id").distinct().count() == n_seen
+
+    labels_t = IceLiteTable.load(os.path.join(wd, "er_labels"))
+    got = _partition(labels_t.read(spark).collect())
+    want = _partition(
+        resolve_entities(spark, docs)["clusters"].collect())
+    assert got == want
+
+    metrics = IceLiteTable.load(
+        os.path.join(wd, "er_landing_metrics")).read(spark)
+    assert metrics.count() == 3
