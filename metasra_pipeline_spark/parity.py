@@ -170,6 +170,19 @@ def build_labeled_refdata(spark: SparkSession, samples: list[dict],
                 continue
             seen.add(s)
             syns.append((s, "EXACT"))
+        # Case-folded variants: T2 lowercases document tokens, and the
+        # reference's (unvendored) OBO releases carry the case-variant
+        # synonyms that make its trie effectively case-insensitive —
+        # Cellosaurus lists "Hela"/"HELA" alongside "HeLa", EFO lists
+        # lowercase synonym strings (observed via the one overlay
+        # synonym 'hela' → EFO:0001185 here).  A lowercase variant per
+        # string reproduces that reachable surface without the OBOs;
+        # measured +24 tp / +2 fp on the 206 labeled samples.
+        for s in [name, *[x for x, _ in syns]]:
+            ls = s.lower()
+            if ls != s and ls not in seen and ls not in rm:
+                seen.add(ls)
+                syns.append((ls, "EXACT"))
         terms.append({"id": tid, "ont": pfx, "name": name, "syns": syns})
     # exclude_terms of BOTH the matching configs (p_53: 1,2,5,7,8,9,18)
     # and the OUTPUT-side configs run_pipeline.py:41-46 filters mapped
@@ -189,10 +202,17 @@ def build_labeled_refdata(spark: SparkSession, samples: list[dict],
             if out_cfg in all_cfgs:
                 excl_sets.append(set(all_cfgs[out_cfg]["exclude_terms"]))
     nonmappable = sorted(set().union(*excl_sets))
+    # EFO_CL / EFO_UBERON / EFO_Orphanet / … are EFO-imported terms —
+    # one ontology (config 13) in the reference, so its fuzzy matching
+    # covers them; prefix-exact membership would wrongly exclude them
+    # (observed: the fuzzy superinterval match then forms only for the
+    # plain twin and P3 suppresses the EFO twin's exact submatch)
+    fuzzy = [p for p in sorted(prefixes)
+             if p in FUZZY_ONTS or p.split("_")[0] in FUZZY_ONTS]
     raw = merge_lexicon(
         raw, terms=terms, ancestors=[],
         exact_match_onts=sorted(prefixes),
-        fuzzy_match_onts=FUZZY_ONTS,
+        fuzzy_match_onts=fuzzy,
         # UO matches (units) feed R1 but are never output terms
         mappable_prefixes=sorted(prefixes - {"UO"}),
         nonmappable_terms=nonmappable)

@@ -28,9 +28,12 @@ def test_labeled_subset_parity_floors(spark):
     m = score_parity(spark, samples)
     # reachable micro-F1: scored only on terms whose lexicon string
     # actually occurs in the sample text (the subset the synthesized
-    # no-OBO lexicon can possibly find — see parity.py docstring)
-    assert m["terms_reachable_micro"]["f1"] >= 0.62, m["terms_reachable_micro"]
-    assert m["terms_micro"]["precision"] >= 0.60, m["terms_micro"]
+    # no-OBO lexicon can possibly find — see parity.py docstring).
+    # Floors raised round 5 (measured 0.7564 / 0.7895 on this subset
+    # after publication-mined synonyms + case-folding + EFO-family
+    # fuzzy) to pin the gains against regression.
+    assert m["terms_reachable_micro"]["f1"] >= 0.74, m["terms_reachable_micro"]
+    assert m["terms_micro"]["precision"] >= 0.75, m["terms_micro"]
     # measured 0.8125 on this subset (0.8148 full-set, PARITY.md) after
     # the round-4 rv work: explicit-only comparison, UO/CVCL fuzzy,
     # T10 delta exact pass, 721->724 preference, curated unit plurals
