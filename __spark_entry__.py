@@ -652,6 +652,187 @@ def _q40_most_specific(spark, sf):
                     "term_id"))
 
 
+def _tok_intervals(spark, sf):
+    """Distinct (doc_id, tok, start, end) with each token's
+    first-occurrence interval in the lowered text (instr is 1-based, as
+    is DuckDB strpos)."""
+    docs = _t(spark, sf, "documents")
+    toks = D.tokens(docs.select("doc_id", "text")).distinct()
+    lt = docs.select("doc_id", F.lower("text").alias("_lt"))
+    return (toks.join(lt, on="doc_id")
+            .select("doc_id", "tok",
+                    (F.expr("instr(_lt, tok)") - 1).alias("start"))
+            .withColumn("end", (F.col("start") + F.length("tok"))
+                        .cast("int"))
+            .withColumn("start", F.col("start").cast("int")))
+
+
+def _q41_exact_over_fuzzy(spark, sf):
+    """P1 PrioritizeExactMatchOverFuzzyMatch
+    (pipeline_components.py:549-601) through the REAL precedence
+    operator: match edges built by the engine's deletion-neighborhood
+    fuzzy join (recall-exact for edit distance ≤1), grouped by origin
+    interval; a group holding any exact edge drops its fuzzy edges.
+    Tokens like 'scan' carry both an exact edge and a dist-1 edge to
+    'scann' (suppressed); pure-fuzzy tokens keep theirs — both branches
+    exercised."""
+    from metasra_pipeline_spark.operators.precedence import (
+        prioritize_exact_over_fuzzy,
+    )
+    from metasra_pipeline_spark.operators.stages import _deletion_keys_expr
+    terms = [t for t, _ in _LEXICON] + _FUZZY_LEX
+    lex = (spark.createDataFrame([(t,) for t in terms], "term: string")
+           .withColumn("lkey", F.explode(_deletion_keys_expr("term"))))
+    toks = (_tok_intervals(spark, sf)
+            .withColumn("qkey", F.explode(_deletion_keys_expr("tok"))))
+    matches = (toks.join(F.broadcast(lex), toks.qkey == lex.lkey)
+               .select("doc_id", "tok", "start", "end", "term").distinct()
+               .withColumn("edit_dist", F.levenshtein("tok", "term"))
+               .where(F.col("edit_dist") <= 1)
+               .drop("tok"))
+    return prioritize_exact_over_fuzzy(matches).select(
+        "doc_id", "start", "end", "term", "edit_dist")
+
+
+def _q42_priority_filter(spark, sf):
+    """P2 FilterOntologyMatchesByPriority_Stage
+    (pipeline_components.py:693-751) through the REAL operator: per
+    (token interval, term id-space), a direct match (TERM_NAME /
+    EXACT_SYNONYM / ENRICHED_SYNONYM) suppresses that interval's
+    inexact-synonym matches in the same space; other spaces and NP:
+    custom targets are untouched.  Even-length terms get an A-space
+    direct edge (its A-space inexact edge must vanish), odd-length
+    terms don't (theirs must survive); B-space inexact edges and NP:
+    rows always survive."""
+    from metasra_pipeline_spark.operators.precedence import (
+        filter_matches_by_priority,
+    )
+    lex = spark.createDataFrame([(t,) for t, _ in _LEXICON], "term: string")
+    hits = (_tok_intervals(spark, sf)
+            .join(F.broadcast(lex), F.col("tok") == F.col("term"))
+            .select("doc_id", F.col("tok").alias("token"), "start", "end",
+                    "term"))
+    even = F.length("term") % 2 == 0
+    a_direct = (hits.where(even)
+                .select("doc_id", "token", "start", "end",
+                        F.concat(F.lit("A:"), "term").alias("target_id"),
+                        F.lit("TERM_NAME").alias("match_target")))
+    a_inexact = hits.select(
+        "doc_id", "token", "start", "end",
+        F.concat(F.lit("A:"), "term", F.lit(":syn")).alias("target_id"),
+        F.lit("INEXACT_SYNONYM").alias("match_target"))
+    b_inexact = hits.select(
+        "doc_id", "token", "start", "end",
+        F.concat(F.lit("B:"), "term").alias("target_id"),
+        F.lit("INEXACT_SYNONYM").alias("match_target"))
+    np_rows = (hits.where(~even)
+               .select("doc_id", "token", "start", "end",
+                       F.concat(F.lit("NP:"), "term").alias("target_id"),
+                       F.lit("INEXACT_SYNONYM").alias("match_target")))
+    matches = (a_direct.unionByName(a_inexact).unionByName(b_inexact)
+               .unionByName(np_rows))
+    return filter_matches_by_priority(matches).select(
+        "doc_id", "token", "start", "end", "target_id", "match_target")
+
+
+def _q43_dev_stage_from_age(spark, sf):
+    """I6 ImpliedDevelopmentalStageFromAge_Stage
+    (pipeline_components.py:1503-1514) through the REAL inference
+    operator: real-value rows synthesized from `events` (age property /
+    year unit / value gates all exercised); adult docs (> 18 years)
+    gain EFO:0001272 + UBERON:0007023 inference edges."""
+    from metasra_pipeline_spark.operators.inference import (
+        implied_developmental_stage,
+    )
+    ev = _t(spark, sf, "events")
+    rv = ev.select(
+        F.col("user_id").alias("doc_id"),
+        F.when(F.col("event_id") % 2 == 0, "EFO:0000246")
+         .otherwise("EFO:0000721").alias("property_id"),
+        F.when(F.col("event_id") % 3 != 0, "UO:0000036")
+         .otherwise("UO:0000035").alias("unit_id"),
+        (F.col("value") % 50).alias("value"))
+    return implied_developmental_stage(rv)
+
+
+def _q44_ancestor_closure(spark, sf):
+    """A5 superterm closure (run_pipeline.py:98-103) through the REAL
+    consolidation operator: per-doc term sets over the
+    customer→nation→region hierarchy (q40's derivation) with a
+    deterministic consequent flag; ancestors inherit the child's flag
+    and groupBy-min keeps an explicit False over any inherited True."""
+    from types import SimpleNamespace
+
+    from metasra_pipeline_spark.operators.consolidate import (
+        add_ancestor_closure,
+    )
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    cn = c.join(n, c.c_nationkey == n.n_nationkey)
+    doc = (F.col("c_custkey") % 25).alias("doc_id")
+    leaf = cn.where(F.col("c_custkey") % 3 == 0)
+    mapped = (leaf.select(doc, F.concat(F.lit("C:"), "c_custkey")
+                          .alias("term_id"))
+              .unionByName(cn.select(doc, F.concat(F.lit("N:"),
+                                                   "c_nationkey")
+                                     .alias("term_id")))
+              .distinct()
+              .withColumn("consequent",
+                          F.split("term_id", ":").getItem(1)
+                          .cast("int") % 2 == 0))
+    anc = (leaf.select(F.concat(F.lit("C:"), "c_custkey").alias("term_id"),
+                       F.concat(F.lit("N:"), "c_nationkey").alias("anc_id"))
+           .unionByName(leaf.select(
+               F.concat(F.lit("C:"), "c_custkey").alias("term_id"),
+               F.concat(F.lit("R:"), "n_regionkey").alias("anc_id")))
+           .unionByName(n.select(
+               F.concat(F.lit("N:"), "n_nationkey").alias("term_id"),
+               F.concat(F.lit("R:"), "n_regionkey").alias("anc_id")))
+           .distinct())
+    ref = SimpleNamespace(ancestors=anc,
+                          mappable_prefixes={"C", "N", "R"})
+    return (add_ancestor_closure(mapped, ref)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "term_id",
+                    F.col("consequent").cast("int").alias("consequent")))
+
+
+def _q45_time_unit_parse(spark, sf):
+    """T10 ParseTimeWithUnit_Stage (pipeline_components.py:1341-1429)
+    through the REAL stage operator: kv/token/match frames synthesized
+    deterministically from `documents` doc ids.  Only docs whose key
+    token matched a time-typed target (even ids) get their value-side
+    tokens parsed into value + unit + expanded-unit-synonym tokens;
+    odd docs and non-parsing tokens pass through untouched."""
+    from types import SimpleNamespace
+
+    from metasra_pipeline_spark.operators.stages import parse_time_with_unit
+    docs = _t(spark, sf, "documents").select("doc_id")
+    kv = docs.select("doc_id",
+                     F.lit(0).alias("key_start"), F.lit(3).alias("key_end"),
+                     F.lit(10).alias("val_start"), F.lit(40).alias("val_end"))
+    v1 = F.concat((F.col("doc_id") % 97).cast("string"), F.lit("h"))
+    v2 = F.concat((F.col("doc_id") % 13).cast("string"), F.lit("min"))
+    tok = (docs.select("doc_id", F.lit("age").alias("token"),
+                       F.lit(0).alias("start"), F.lit(3).alias("end"))
+           .unionByName(docs.select(
+               "doc_id", v1.alias("token"), F.lit(10).alias("start"),
+               (F.lit(10) + F.length(v1)).cast("int").alias("end")))
+           .unionByName(docs.select(
+               "doc_id", v2.alias("token"), F.lit(20).alias("start"),
+               (F.lit(20) + F.length(v2)).cast("int").alias("end")))
+           .unionByName(docs.select(
+               "doc_id", F.lit("plain").alias("token"),
+               F.lit(30).alias("start"), F.lit(35).alias("end"))))
+    matches = (docs.where(F.col("doc_id") % 2 == 0)
+               .select("doc_id", F.lit(0).alias("start"),
+                       F.lit(3).alias("end"),
+                       F.lit("EFO:TIME").alias("target_id")))
+    ref = SimpleNamespace(time_keys=["EFO:TIME"])
+    out = parse_time_with_unit(kv, tok, matches, ref, spark)
+    return out.select("doc_id", "token", "start", "end")
+
+
 def _er_span_docs(spark, sf):
     """Interleaved span documents (input_hint shape) synthesized
     deterministically from the sf `documents` table — shared corpus for
@@ -793,6 +974,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_cosine_neardup": _q38_cosine_neardup,
         "q39_asof_join": _q39_asof_join,
         "q40_most_specific": _q40_most_specific,
+        "q41_exact_over_fuzzy": _q41_exact_over_fuzzy,
+        "q42_priority_filter": _q42_priority_filter,
+        "q43_dev_stage_from_age": _q43_dev_stage_from_age,
+        "q44_ancestor_closure": _q44_ancestor_closure,
+        "q45_time_unit_parse": _q45_time_unit_parse,
         "q93_er_native": _q93_er_native,
         "q90_er_resolve": _q90_er_resolve,
         "q92_er_incremental": _q92_er_incremental,
@@ -1328,6 +1514,179 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM has_desc h
                               WHERE h.doc_id = m.doc_id
                                 AND h.term_id = m.term_id)""",
+        # P1: same interval-grouped exact-over-fuzzy precedence; the
+        # oracle builds match edges by brute-force cross join (the
+        # engine's deletion-neighborhood join is recall-exact for
+        # edit distance <= 1, so the candidate sets coincide).
+        "q41_exact_over_fuzzy": """
+            WITH tk AS (
+                SELECT DISTINCT doc_id, tok,
+                       CAST(strpos(t, tok) - 1 AS INT) AS "start",
+                       CAST(strpos(t, tok) - 1 + len(tok) AS INT) AS "end"
+                FROM (SELECT doc_id, lower(text) AS t,
+                             unnest(list_filter(regexp_split_to_array(
+                               lower(text), '[^0-9a-z]+'),
+                               x -> len(x) > 0)) AS tok
+                      FROM documents)),
+            lex AS (SELECT * FROM (VALUES
+                ('scan'), ('join'), ('filter'), ('sort'), ('merge'),
+                ('window'), ('hash'), ('stream'), ('scann'), ('joinn'),
+                ('filtr'), ('sorrt'), ('mereg')) l(term)),
+            m AS (SELECT DISTINCT doc_id, "start", "end", term,
+                         levenshtein(tok, term) AS edit_dist
+                  FROM tk CROSS JOIN lex
+                  WHERE levenshtein(tok, term) <= 1),
+            he AS (SELECT doc_id, "start", "end",
+                          max(CASE WHEN edit_dist = 0 THEN 1 ELSE 0 END)
+                            AS h
+                   FROM m GROUP BY 1, 2, 3)
+            SELECT m.doc_id, m."start" AS start, m."end" AS "end",
+                   m.term, m.edit_dist
+            FROM m JOIN he USING (doc_id, "start", "end")
+            WHERE m.edit_dist = 0 OR he.h = 0""",
+        # P2: per (token interval, id-space) direct-over-inexact
+        # suppression; NP: custom targets untouched.
+        "q42_priority_filter": """
+            WITH tk AS (
+                SELECT DISTINCT doc_id, tok AS token,
+                       CAST(strpos(t, tok) - 1 AS INT) AS "start",
+                       CAST(strpos(t, tok) - 1 + len(tok) AS INT) AS "end"
+                FROM (SELECT doc_id, lower(text) AS t,
+                             unnest(list_filter(regexp_split_to_array(
+                               lower(text), '[^0-9a-z]+'),
+                               x -> len(x) > 0)) AS tok
+                      FROM documents)),
+            lex AS (SELECT * FROM (VALUES
+                ('scan'), ('join'), ('filter'), ('sort'), ('merge'),
+                ('window'), ('hash'), ('stream')) l(term)),
+            hits AS (SELECT doc_id, token, "start", "end", term
+                     FROM tk JOIN lex ON token = term),
+            m AS (
+                SELECT doc_id, token, "start", "end",
+                       concat('A:', term) AS target_id,
+                       'TERM_NAME' AS match_target
+                FROM hits WHERE len(term) % 2 = 0
+                UNION ALL
+                SELECT doc_id, token, "start", "end",
+                       concat('A:', term, ':syn'), 'INEXACT_SYNONYM'
+                FROM hits
+                UNION ALL
+                SELECT doc_id, token, "start", "end",
+                       concat('B:', term), 'INEXACT_SYNONYM'
+                FROM hits
+                UNION ALL
+                SELECT doc_id, token, "start", "end",
+                       concat('NP:', term), 'INEXACT_SYNONYM'
+                FROM hits WHERE len(term) % 2 = 1),
+            g AS (SELECT m.*,
+                         NOT starts_with(target_id, 'NP:') AS is_term,
+                         CASE WHEN starts_with(target_id, 'NP:')
+                              THEN '_np'
+                              ELSE split_part(target_id, ':', 1)
+                         END AS sp,
+                         match_target IN ('TERM_NAME', 'EXACT_SYNONYM',
+                                          'ENRICHED_SYNONYM') AS direct
+                  FROM m),
+            hd AS (SELECT doc_id, token, "start", "end", sp,
+                          max(CASE WHEN direct AND is_term THEN 1
+                                   ELSE 0 END) AS h
+                   FROM g GROUP BY 1, 2, 3, 4, 5)
+            SELECT g.doc_id, g.token, g."start" AS start,
+                   g."end" AS "end", g.target_id, g.match_target
+            FROM g JOIN hd USING (doc_id, token, "start", "end", sp)
+            WHERE (NOT g.is_term) OR g.direct OR hd.h = 0""",
+        # I6: adult (> 18 year) age real-values imply the adult
+        # developmental-stage pair.
+        "q43_dev_stage_from_age": """
+            SELECT DISTINCT user_id AS doc_id,
+                   'RV:EFO:0000246' AS src_id, dst_id,
+                   'Infer developmental stage' AS itype
+            FROM events,
+                 (VALUES ('EFO:0001272'), ('UBERON:0007023')) t(dst_id)
+            WHERE event_id % 2 = 0 AND event_id % 3 <> 0
+              AND (value % 50) > 18""",
+        # A5: superterm closure — ancestors inherit the child's
+        # consequent flag; min keeps an explicit False over any
+        # inherited True.
+        "q44_ancestor_closure": """
+            WITH cn AS (SELECT c_custkey, c_nationkey, n_regionkey
+                        FROM customer JOIN nation
+                          ON c_nationkey = n_nationkey),
+            leaf AS (SELECT * FROM cn WHERE c_custkey % 3 = 0),
+            mapped AS (
+                SELECT DISTINCT c_custkey % 25 AS doc_id,
+                       concat('C:', c_custkey) AS term_id FROM leaf
+                UNION
+                SELECT DISTINCT c_custkey % 25,
+                       concat('N:', c_nationkey) FROM cn),
+            m2 AS (SELECT doc_id, term_id,
+                          CAST(split_part(term_id, ':', 2) AS INT) % 2 = 0
+                            AS consequent
+                   FROM mapped),
+            anc AS (
+                SELECT concat('C:', c_custkey) AS term_id,
+                       concat('N:', c_nationkey) AS anc_id FROM leaf
+                UNION
+                SELECT concat('C:', c_custkey),
+                       concat('R:', n_regionkey) FROM leaf
+                UNION
+                SELECT concat('N:', n_nationkey),
+                       concat('R:', n_regionkey) FROM nation),
+            a_rows AS (SELECT m.doc_id, a.anc_id AS term_id, m.consequent
+                       FROM m2 m JOIN anc a USING (term_id))
+            SELECT doc_id, term_id, min(CAST(consequent AS INT))
+                     AS consequent
+            FROM (SELECT * FROM m2 UNION ALL SELECT * FROM a_rows)
+            GROUP BY doc_id, term_id""",
+        # T10: gated value tokens split into value + unit + expanded
+        # unit-synonym tokens; ungated (odd-doc) and non-parsing tokens
+        # pass through untouched.
+        "q45_time_unit_parse": """
+            WITH d AS (SELECT doc_id FROM documents),
+            base AS (
+                SELECT doc_id, 'age' AS token, 0 AS "start", 3 AS "end"
+                FROM d
+                UNION ALL
+                SELECT doc_id,
+                       concat(CAST(doc_id % 97 AS VARCHAR), 'h'), 10,
+                       CAST(10 + len(concat(CAST(doc_id % 97 AS VARCHAR),
+                                            'h')) AS INT)
+                FROM d
+                UNION ALL
+                SELECT doc_id,
+                       concat(CAST(doc_id % 13 AS VARCHAR), 'min'), 20,
+                       CAST(20 + len(concat(CAST(doc_id % 13 AS VARCHAR),
+                                            'min')) AS INT)
+                FROM d
+                UNION ALL
+                SELECT doc_id, 'plain', 30, 35 FROM d),
+            parsed AS (
+                SELECT doc_id, token, "start", "end",
+                       regexp_extract(token,
+                         '^([0-9]*)\\s*(h|hr|mo|d|min)$', 1) AS v,
+                       regexp_extract(token,
+                         '^([0-9]*)\\s*(h|hr|mo|d|min)$', 2) AS u
+                FROM base
+                WHERE doc_id % 2 = 0 AND "start" >= 10 AND "end" <= 40
+                  AND regexp_extract(token,
+                        '^([0-9]*)\\s*(h|hr|mo|d|min)$', 2) <> ''),
+            uexp AS (SELECT * FROM (VALUES
+                ('hr', 'hour'), ('h', 'hour'), ('hrs', 'hour'),
+                ('mo', 'month'), ('d', 'day'), ('min', 'minute'))
+                e(u, expansion))
+            SELECT DISTINCT doc_id, token, "start" AS start, "end" AS "end"
+            FROM (
+                SELECT doc_id, token, "start", "end" FROM base
+                UNION ALL
+                SELECT doc_id, v, "start",
+                       CAST("start" + len(v) AS INT) FROM parsed
+                UNION ALL
+                SELECT doc_id, u, CAST("end" - len(u) AS INT), "end"
+                FROM parsed
+                UNION ALL
+                SELECT p.doc_id, e.expansion,
+                       CAST(p."end" - len(p.u) AS INT), p."end"
+                FROM parsed p JOIN uexp e ON p.u = e.u)""",
         # Full native-scorer ER: blocking → meta-blocking → composite
         # scoring (explicit Winkler boost — DuckDB's builtin
         # jaro_winkler_similarity boosts only when jaro > 0.7, ours is
