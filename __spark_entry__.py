@@ -833,6 +833,61 @@ def _q45_time_unit_parse(spark, sf):
     return out.select("doc_id", "token", "start", "end")
 
 
+def _q46_real_value_extraction(spark, sf):
+    """R1 ExtractRealValue_Stage (pipeline_components.py:1199-1338)
+    through the REAL inference operator, every branch exercised:
+    property-id preference folding (721→724 keeps a double-matched key
+    from tripping the guard), the exactly-one-property guard (d%9 docs
+    match two distinct props → suppressed), key-side property via the
+    inference-edge hop (d%3==1 reaches PROP:BMI through X:SEED),
+    numeric-token extraction with a non-numeric decoy, and the
+    0/1/many-unit cascade (one unit → that unit; none → per-property
+    default or 'missing'; two → null)."""
+    from types import SimpleNamespace
+
+    from metasra_pipeline_spark.operators.inference import extract_real_values
+    d = _t(spark, sf, "documents").select("doc_id")
+    kv = d.select(
+        "doc_id", F.lit("age").alias("key"),
+        F.concat(F.lit("v"), F.col("doc_id").cast("string")).alias("value"),
+        F.lit(0).alias("key_start"), F.lit(3).alias("key_end"),
+        F.lit(10).alias("val_start"), F.lit(40).alias("val_end"))
+    t1 = (F.col("doc_id") % 50).cast("string")
+    t2 = (F.col("doc_id") % 7).cast("string")
+    tok = (d.select("doc_id", t1.alias("token"), F.lit(10).alias("start"),
+                    (F.lit(10) + F.length(t1)).cast("int").alias("end"))
+           .unionByName(d.select(
+               "doc_id", F.lit("foo").alias("token"),
+               F.lit(15).alias("start"), F.lit(18).alias("end")))
+           .unionByName(d.where(F.col("doc_id") % 4 == 0).select(
+               "doc_id", t2.alias("token"), F.lit(20).alias("start"),
+               (F.lit(20) + F.length(t2)).cast("int").alias("end"))))
+
+    def _m(cond, s, e, tid):
+        return d.where(cond).select(
+            "doc_id", F.lit(s).alias("start"), F.lit(e).alias("end"),
+            F.lit(tid).alias("target_id"))
+
+    did = F.col("doc_id")
+    matches = (_m(did % 3 == 0, 0, 3, "EFO:0000724")
+               .unionByName(_m(did % 6 == 0, 0, 3, "EFO:0000721"))
+               .unionByName(_m(did % 9 == 0, 0, 3, "PROP:BMI"))
+               .unionByName(_m(did % 3 == 1, 0, 3, "X:SEED"))
+               .unionByName(_m(did % 2 == 0, 25, 28, "UO:0000036"))
+               .unionByName(_m(did % 8 == 0, 30, 33, "UO:0000035")))
+    inf_edges = d.where(did % 3 == 1).select(
+        "doc_id", F.lit("X:SEED").alias("src_id"),
+        F.lit("PROP:BMI").alias("dst_id"))
+    ref = SimpleNamespace(
+        real_val_props=spark.createDataFrame(
+            [("EFO:0000724",), ("EFO:0000721",), ("PROP:BMI",)],
+            "property_id: string"),
+        default_units=spark.createDataFrame(
+            [("EFO:0000724", "UO:0000032")],
+            "property_id: string, unit_id: string"))
+    return extract_real_values(kv, tok, matches, inf_edges, ref)
+
+
 def _er_span_docs(spark, sf):
     """Interleaved span documents (input_hint shape) synthesized
     deterministically from the sf `documents` table — shared corpus for
@@ -979,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_dev_stage_from_age": _q43_dev_stage_from_age,
         "q44_ancestor_closure": _q44_ancestor_closure,
         "q45_time_unit_parse": _q45_time_unit_parse,
+        "q46_real_value_extraction": _q46_real_value_extraction,
         "q93_er_native": _q93_er_native,
         "q90_er_resolve": _q90_er_resolve,
         "q92_er_incremental": _q92_er_incremental,
@@ -1687,6 +1743,39 @@ def oracle_sql() -> dict[str, str]:
                 SELECT p.doc_id, e.expansion,
                        CAST(p."end" - len(p.u) AS INT), p."end"
                 FROM parsed p JOIN uexp e ON p.u = e.u)""",
+        # R1: an INDEPENDENT derivation of the expected semantics (not a
+        # mechanical join replay): property resolution incl. the 721→724
+        # preference fold and the one-property guard, value tokens, and
+        # the 0/1/many-unit cascade.
+        "q46_real_value_extraction": """
+            WITH d AS (SELECT doc_id FROM documents),
+            prop AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN 'EFO:0000724'
+                            WHEN doc_id % 3 = 1 THEN 'PROP:BMI'
+                       END AS property_id
+                FROM d
+                WHERE doc_id % 9 <> 0 AND doc_id % 3 <> 2),
+            vals AS (
+                SELECT doc_id, CAST(doc_id % 50 AS DOUBLE) AS value FROM d
+                UNION
+                SELECT doc_id, CAST(doc_id % 7 AS DOUBLE) FROM d
+                WHERE doc_id % 4 = 0),
+            units AS (
+                SELECT doc_id,
+                       (doc_id % 8 = 0) AS multi,
+                       (doc_id % 2 = 0) AS has_unit
+                FROM d)
+            SELECT DISTINCT p.doc_id, p.property_id, v.value,
+                   CASE WHEN u.multi THEN NULL
+                        WHEN u.has_unit THEN 'UO:0000036'
+                        WHEN p.property_id = 'EFO:0000724'
+                          THEN 'UO:0000032'
+                        ELSE 'missing' END AS unit_id,
+                   'age' AS orig_key,
+                   concat('v', CAST(p.doc_id AS VARCHAR)) AS orig_val
+            FROM prop p JOIN vals v USING (doc_id)
+                        JOIN units u USING (doc_id)""",
         # Full native-scorer ER: blocking → meta-blocking → composite
         # scoring (explicit Winkler boost — DuckDB's builtin
         # jaro_winkler_similarity boosts only when jaro > 0.7, ours is
