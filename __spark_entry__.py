@@ -919,6 +919,39 @@ def _q93_er_native(spark, sf):
             .select("doc_id", "cluster_id"))
 
 
+def _q94_er_incremental_native(spark, sf):
+    """INCREMENTAL ER, DuckDB-oracled hash-exact: resolve the base 75 %
+    of the corpus with the native scorer, land the remaining 25 % via
+    incremental_resolve(scorer="native"), and return the full updated
+    assignment with labels canonicalized to each cluster's min doc_id
+    (pure relabeling — the partition is untouched).
+
+    The oracle does NOT shortcut to a batch run: it independently
+    re-derives the INCREMENTAL semantics — base-phase edges with the
+    hot-key cap judged on base-only counts, delta-phase pairs (≥1 new
+    endpoint) with the cap judged on combined counts, exact-profile
+    attach edges, dup star edges on both sides — then takes one
+    recursive-CTE transitive closure over the union.  The split is
+    arithmetic on the doc_id suffix so both engines compute it
+    identically."""
+    from metasra_pipeline_spark.er.incremental import incremental_resolve
+    from metasra_pipeline_spark.er.resolution import resolve_entities_native
+    docs = _er_span_docs(spark, sf)
+    part = F.expr("cast(substring(doc_id, 2, 8) as int) % 4")
+    base = docs.where(part < 3)
+    delta = docs.where(part == 3)
+    base_res = resolve_entities_native(spark, base)
+    res = incremental_resolve(
+        spark, base_profiles=base_res["profiles"],
+        base_clusters=base_res["clusters"],
+        new_documents=delta, ngram=0, scorer="native")
+    clusters = res["clusters"]
+    canon = (clusters.groupBy("cluster_id")
+             .agg(F.min("doc_id").alias("canon")))
+    return (clusters.join(canon, on="cluster_id")
+            .select("doc_id", F.col("canon").alias("cluster_id")))
+
+
 # ------------------------------------------- non-SQL-expressible (rows-only)
 def _q90_er_resolve(spark, sf):
     """Full blocking→scoring→CC entity resolution over span documents
@@ -1036,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_time_unit_parse": _q45_time_unit_parse,
         "q46_real_value_extraction": _q46_real_value_extraction,
         "q93_er_native": _q93_er_native,
+        "q94_er_incremental_native": _q94_er_incremental_native,
         "q90_er_resolve": _q90_er_resolve,
         "q92_er_incremental": _q92_er_incremental,
         "q91_mapping_pipeline": _q91_mapping_pipeline,
@@ -1067,6 +1101,64 @@ def _er_stop_sql() -> str:
 
 
 _ER_STOP_SQL = _er_stop_sql()
+
+
+def _er_score_chain_sql(p: str, cand: str, reps: str) -> str:
+    """CTE chain replicating er/resolution.py's native scorer
+    (score_pairs with idf=None, reject_below=None) in DuckDB SQL:
+    exact-token Jaccard (j0, prefilter >= 0.2), levenshtein ratio on
+    profiles, the 0.65/0.15/0.2 composite with an explicit Winkler
+    prefix boost (similarity.py:50-57), the JW short-circuit
+    (partial + 0.2 < 0.60 never evaluates JW — resolution.py:419),
+    and the numeric-id-conflict cap at 0.60 (similarity.py:176,193).
+    Emits CTEs ``{p}sc0..{p}sc3`` and ``{p}edges`` (threshold 0.65)
+    reading candidates from ``{cand}`` (doc_a, doc_b) and profiles
+    from ``{reps}`` (doc_id, profile, toks).  Shared verbatim by the
+    q93 batch oracle and BOTH phases of the q94 incremental oracle,
+    so the three scoring chains cannot drift apart."""
+    return f"""
+            {p}sc0 AS (
+              SELECT c.doc_a, c.doc_b,
+                     ra.profile AS pa, rb.profile AS pb,
+                     ra.toks AS ta, rb.toks AS tb,
+                     CAST(len(list_intersect(ra.toks, rb.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(ra.toks, rb.toks)))
+                       AS j0
+              FROM {cand} c
+              JOIN {reps} ra ON c.doc_a = ra.doc_id
+              JOIN {reps} rb ON c.doc_b = rb.doc_id),
+            {p}sc1 AS (
+              SELECT *,
+                     CASE WHEN greatest(len(pa), len(pb)) = 0 THEN 1.0
+                          ELSE 1.0 - levenshtein(pa, pb)
+                               / CAST(greatest(len(pa), len(pb)) AS DOUBLE)
+                     END AS lr
+              FROM {p}sc0 WHERE j0 >= 0.2),
+            {p}sc2 AS (
+              SELECT *, 0.65 * j0 + 0.15 * lr AS partial,
+                     jaro_similarity(pa, pb) AS jaro,
+                     CASE WHEN substr(pa, 1, 4) = substr(pb, 1, 4) THEN 4
+                          WHEN substr(pa, 1, 3) = substr(pb, 1, 3) THEN 3
+                          WHEN substr(pa, 1, 2) = substr(pb, 1, 2) THEN 2
+                          WHEN substr(pa, 1, 1) = substr(pb, 1, 1) THEN 1
+                          ELSE 0 END AS prefix,
+                     (len(list_filter(ta, t -> NOT list_contains(tb, t)
+                            AND regexp_matches(t, '[0-9]'))) > 0
+                      AND len(list_filter(tb, t -> NOT list_contains(ta, t)
+                            AND regexp_matches(t, '[0-9]'))) > 0)
+                       AS conflict
+              FROM {p}sc1),
+            {p}sc3 AS (
+              SELECT doc_a, doc_b,
+                     CASE WHEN partial + 0.2 >= 0.60
+                          THEN partial + 0.2 * (jaro + prefix * 0.1
+                                                * (1.0 - jaro))
+                          ELSE partial END AS full_score, conflict
+              FROM {p}sc2),
+            {p}edges AS (
+              SELECT doc_a, doc_b FROM {p}sc3
+              WHERE (CASE WHEN full_score > 0.60 AND conflict THEN 0.60
+                          ELSE full_score END) >= 0.65)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1817,48 +1909,7 @@ def oracle_sql() -> dict[str, str]:
               FROM kept a JOIN kept b ON a.key = b.key
               WHERE a.doc_id < b.doc_id
               GROUP BY 1, 2 HAVING count(*) >= 2),
-            sc0 AS (
-              SELECT c.doc_a, c.doc_b,
-                     ra.profile AS pa, rb.profile AS pb,
-                     ra.toks AS ta, rb.toks AS tb,
-                     CAST(len(list_intersect(ra.toks, rb.toks)) AS DOUBLE)
-                       / len(list_distinct(list_concat(ra.toks, rb.toks)))
-                       AS j0
-              FROM cand c
-              JOIN reps ra ON c.doc_a = ra.doc_id
-              JOIN reps rb ON c.doc_b = rb.doc_id),
-            sc1 AS (
-              SELECT *,
-                     CASE WHEN greatest(len(pa), len(pb)) = 0 THEN 1.0
-                          ELSE 1.0 - levenshtein(pa, pb)
-                               / CAST(greatest(len(pa), len(pb)) AS DOUBLE)
-                     END AS lr
-              FROM sc0 WHERE j0 >= 0.2),
-            sc2 AS (
-              SELECT *, 0.65 * j0 + 0.15 * lr AS partial,
-                     jaro_similarity(pa, pb) AS jaro,
-                     CASE WHEN substr(pa, 1, 4) = substr(pb, 1, 4) THEN 4
-                          WHEN substr(pa, 1, 3) = substr(pb, 1, 3) THEN 3
-                          WHEN substr(pa, 1, 2) = substr(pb, 1, 2) THEN 2
-                          WHEN substr(pa, 1, 1) = substr(pb, 1, 1) THEN 1
-                          ELSE 0 END AS prefix,
-                     (len(list_filter(ta, t -> NOT list_contains(tb, t)
-                            AND regexp_matches(t, '[0-9]'))) > 0
-                      AND len(list_filter(tb, t -> NOT list_contains(ta, t)
-                            AND regexp_matches(t, '[0-9]'))) > 0)
-                       AS conflict
-              FROM sc1),
-            sc3 AS (
-              SELECT doc_a, doc_b,
-                     CASE WHEN partial + 0.2 >= 0.60
-                          THEN partial + 0.2 * (jaro + prefix * 0.1
-                                                * (1.0 - jaro))
-                          ELSE partial END AS full_score, conflict
-              FROM sc2),
-            edges AS (
-              SELECT doc_a, doc_b FROM sc3
-              WHERE (CASE WHEN full_score > 0.60 AND conflict THEN 0.60
-                          ELSE full_score END) >= 0.65),
+            {_er_score_chain_sql('', 'cand', 'reps')},
             star AS (
               SELECT r.doc_id AS doc_a, p.doc_id AS doc_b
               FROM prof p JOIN reps r ON p.profile = r.profile
@@ -1868,6 +1919,132 @@ def oracle_sql() -> dict[str, str]:
               UNION SELECT doc_b, doc_a FROM edges
               UNION SELECT doc_a, doc_b FROM star
               UNION SELECT doc_b, doc_a FROM star),
+            docs AS (SELECT DISTINCT doc_id FROM prof),
+            r AS (
+              SELECT doc_id AS u, doc_id AS v FROM docs
+              UNION
+              SELECT r.u, e0.v FROM r JOIN e0 ON r.v = e0.u
+            )
+            SELECT u AS doc_id, min(v) AS cluster_id
+            FROM r GROUP BY u""",
+        # Incremental landing: independently re-derives the INCREMENTAL
+        # semantics of er/incremental.py (NOT a batch-rerun shortcut):
+        #  - base phase = the q93 pipeline restricted to part<3 docs,
+        #    hot-key cap judged on BASE rep counts only
+        #    (resolution.py:567);
+        #  - delta phase = pairs with >=1 new endpoint (new x new self-
+        #    join  UNION ALL  new x base equi-join,
+        #    incremental.py:60-79), cap judged on COMBINED counts over
+        #    keys the delta touches (incremental.py:199-221), exact-
+        #    profile attach edges (incremental.py:188-193), same scorer
+        #    chain;
+        #  - one transitive closure over base edges + delta edges +
+        #    both phases' dup star edges + attach edges == the star-
+        #    contracted delta CC + merge-log relabel + min-doc_id
+        #    canonicalization the Spark side performs.
+        "q94_er_incremental_native": f"""
+            WITH RECURSIVE tk AS (
+              SELECT concat('D', lpad(CAST(doc_id AS VARCHAR), 8, '0'))
+                       AS doc_id,
+                     CAST(doc_id % 4 AS INT) AS part,
+                     unnest(list_filter(regexp_split_to_array(
+                       lower(text), '[^0-9a-z+'']+'), t -> len(t) > 0))
+                       AS tok
+              FROM documents
+              UNION ALL
+              SELECT concat('D', lpad(CAST(doc_id AS VARCHAR), 8, '0')),
+                     CAST(doc_id % 4 AS INT),
+                     unnest(list_filter(regexp_split_to_array(
+                       lower(source), '[^0-9a-z+'']+'), t -> len(t) > 0))
+              FROM documents),
+            prof AS (
+              SELECT doc_id, min(part) AS part,
+                     array_to_string(list_sort(list(DISTINCT tok)), ' ')
+                       AS profile
+              FROM tk GROUP BY doc_id),
+            bprof AS (SELECT * FROM prof WHERE part < 3),
+            breps AS (
+              SELECT profile, min(doc_id) AS doc_id,
+                     string_split(profile, ' ') AS toks
+              FROM bprof GROUP BY profile),
+            bkeys AS (
+              SELECT doc_id, unnest(toks) AS key FROM breps),
+            bkept AS (
+              SELECT doc_id, key FROM bkeys
+              WHERE len(key) >= 3 AND key NOT IN ({_ER_STOP_SQL})
+                AND key NOT IN (SELECT key FROM bkeys
+                                GROUP BY key
+                                HAVING count(DISTINCT doc_id) > 200)),
+            bcand AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bkept a JOIN bkept b ON a.key = b.key
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            {_er_score_chain_sql('b', 'bcand', 'breps')},
+            bstar AS (
+              SELECT r.doc_id AS doc_a, p.doc_id AS doc_b
+              FROM bprof p JOIN breps r ON p.profile = r.profile
+              WHERE p.doc_id <> r.doc_id),
+            nprof AS (SELECT * FROM prof WHERE part = 3),
+            nreps AS (
+              SELECT profile, min(doc_id) AS doc_id,
+                     string_split(profile, ' ') AS toks
+              FROM nprof GROUP BY profile),
+            nstar AS (
+              SELECT r.doc_id AS doc_a, p.doc_id AS doc_b
+              FROM nprof p JOIN nreps r ON p.profile = r.profile
+              WHERE p.doc_id <> r.doc_id),
+            attach AS (
+              SELECT n.doc_id AS doc_a, o.doc_id AS doc_b
+              FROM nreps n JOIN breps o ON n.profile = o.profile),
+            useen AS (
+              SELECT * FROM nreps
+              WHERE doc_id NOT IN (SELECT doc_a FROM attach)),
+            nkeys AS (
+              SELECT doc_id, key FROM (
+                SELECT doc_id, unnest(toks) AS key FROM useen)
+              WHERE len(key) >= 3 AND key NOT IN ({_ER_STOP_SQL})),
+            bkeysu AS (
+              SELECT doc_id, key FROM (
+                SELECT doc_id, unnest(toks) AS key FROM breps)
+              WHERE len(key) >= 3 AND key NOT IN ({_ER_STOP_SQL})),
+            sizes AS (
+              SELECT key, count(DISTINCT doc_id) AS n_docs FROM (
+                SELECT key, doc_id FROM nkeys
+                UNION ALL
+                SELECT key, doc_id FROM bkeysu
+                WHERE key IN (SELECT DISTINCT key FROM nkeys))
+              GROUP BY key),
+            nkept AS (
+              SELECT doc_id, key FROM nkeys
+              WHERE key NOT IN (SELECT key FROM sizes
+                                WHERE n_docs > 200)),
+            dcand AS (
+              SELECT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM nkept a JOIN nkept b ON a.key = b.key
+                WHERE a.doc_id < b.doc_id
+                UNION ALL
+                SELECT least(n.doc_id, o.doc_id) AS doc_a,
+                       greatest(n.doc_id, o.doc_id) AS doc_b
+                FROM nkept n JOIN bkeysu o ON n.key = o.key)
+              GROUP BY doc_a, doc_b HAVING count(*) >= 2),
+            rp AS (
+              SELECT doc_id, profile, toks FROM breps
+              UNION ALL
+              SELECT doc_id, profile, toks FROM useen),
+            {_er_score_chain_sql('d', 'dcand', 'rp')},
+            e0 AS (
+              SELECT doc_a AS u, doc_b AS v FROM bedges
+              UNION SELECT doc_b, doc_a FROM bedges
+              UNION SELECT doc_a, doc_b FROM dedges
+              UNION SELECT doc_b, doc_a FROM dedges
+              UNION SELECT doc_a, doc_b FROM bstar
+              UNION SELECT doc_b, doc_a FROM bstar
+              UNION SELECT doc_a, doc_b FROM nstar
+              UNION SELECT doc_b, doc_a FROM nstar
+              UNION SELECT doc_a, doc_b FROM attach
+              UNION SELECT doc_b, doc_a FROM attach),
             docs AS (SELECT DISTINCT doc_id FROM prof),
             r AS (
               SELECT doc_id AS u, doc_id AS v FROM docs

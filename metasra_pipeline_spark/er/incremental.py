@@ -135,7 +135,8 @@ def incremental_resolve(spark: SparkSession,
                         idf: dict[str, float] | None = None,
                         default_idf: float = 10.0,
                         small_graph_cap: int = 1_000_000,
-                        checkpoint: bool = True) -> dict[str, DataFrame]:
+                        checkpoint: bool = True,
+                        scorer: str = "softtfidf") -> dict[str, DataFrame]:
     """Resolve ``new_documents`` against an existing clustering.
 
     Parameters mirror :func:`..er.resolution.resolve_entities`;
@@ -157,7 +158,15 @@ def incremental_resolve(spark: SparkSession,
     the base clustering made them — the contract of an incremental
     path (a full re-run may additionally re-judge old pairs whose IDF
     drifted; tests pin partition equality on generated corpora).
+
+    ``scorer="native"`` selects the IDF-free, SQL-expressible composite
+    of :func:`..er.resolution.resolve_entities_native` (exact-token
+    Jaccard + levenshtein-ratio + Jaro-Winkler) — the deterministic
+    configuration whose incremental landing is DuckDB-oracled
+    hash-exact by driver query q94_er_incremental_native.
     """
+    if scorer not in ("softtfidf", "native"):
+        raise ValueError(f"unknown scorer {scorer!r}")
     newp = doc_profiles(new_documents)
     if checkpoint:
         newp = newp.localCheckpoint(eager=True)
@@ -218,7 +227,7 @@ def incremental_resolve(spark: SparkSession,
     # explode+groupBy per landing; production passes the prior run's
     # stored head via ``idf``/``default_idf`` (the Zipf head is stable
     # between landings) just like base_reps/base_keys.
-    if idf is None:
+    if idf is None and scorer == "softtfidf":
         idf, default_idf = token_idf(base_profiles.unionByName(newp))
     # score_pairs augments every profile row it is handed (weight maps,
     # bound precomputations) — restricting it to TOUCHED docs keeps the
@@ -230,8 +239,16 @@ def incremental_resolve(spark: SparkSession,
                .distinct())
     prof_union = (base_reps.unionByName(unseen)
                   .join(touched, on="doc_id", how="left_semi"))
-    scored = score_pairs(pairs, prof_union, idf=idf,
-                         default_idf=default_idf, reject_below=threshold)
+    if scorer == "native":
+        # reject_below=None: the native composite is itself the final
+        # score — no IDF bound to prefilter with (mirrors
+        # resolve_entities_native, keeps the oracle arithmetic exact)
+        scored = score_pairs(pairs, prof_union, idf=None,
+                             reject_below=None)
+    else:
+        scored = score_pairs(pairs, prof_union, idf=idf,
+                             default_idf=default_idf,
+                             reject_below=threshold)
     if checkpoint:
         scored = scored.localCheckpoint(eager=True)
 

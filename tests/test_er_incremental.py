@@ -322,3 +322,42 @@ def test_three_successive_landings_match_batch(spark, tmp_path):
     metrics = IceLiteTable.load(
         os.path.join(wd, "er_landing_metrics")).read(spark)
     assert metrics.count() == 3
+
+
+def test_incremental_native_scorer_matches_batch_native(spark):
+    """scorer="native" (the q94-oracled configuration): landing the
+    25% delta with the IDF-free native composite must reproduce the
+    partition of a full batch resolve_entities_native run over the
+    same corpus.  Unlike the softtfidf path there is no IDF drift
+    between base and combined corpora (the scorer is closed-form), so
+    batch equality is exact by construction — this pins it."""
+    from metasra_pipeline_spark.er.resolution import resolve_entities_native
+
+    gen = synth_documents(spark, 300, seed=7).localCheckpoint()
+    docs = gen.select("doc_id", "spans")
+    base = docs.where(F.pmod(F.hash("doc_id"), F.lit(4)) < 3)
+    delta = docs.where(F.pmod(F.hash("doc_id"), F.lit(4)) == 3)
+    assert 0 < delta.count() < 300
+
+    full = resolve_entities_native(spark, docs)
+    base_res = resolve_entities_native(spark, base)
+    incr = incremental_resolve(spark,
+                               base_profiles=base_res["profiles"],
+                               base_clusters=base_res["clusters"],
+                               new_documents=delta,
+                               ngram=0, scorer="native")
+
+    got = _partition(incr["clusters"].collect())
+    want = _partition(full["clusters"].collect())
+    assert got == want
+    assert incr["clusters"].count() == 300
+
+
+def test_incremental_unknown_scorer_rejected(spark):
+    docs = synth_documents(spark, 10, seed=1).select("doc_id", "spans")
+    from metasra_pipeline_spark.er.resolution import resolve_entities_native
+    base_res = resolve_entities_native(spark, docs)
+    with pytest.raises(ValueError, match="unknown scorer"):
+        incremental_resolve(spark, base_profiles=base_res["profiles"],
+                            base_clusters=base_res["clusters"],
+                            new_documents=docs, scorer="bogus")
