@@ -888,6 +888,155 @@ def _q46_real_value_extraction(spark, sf):
     return extract_real_values(kv, tok, matches, inf_edges, ref)
 
 
+#: Inline inference lookups mirrored verbatim into the q47 oracle VALUES
+#: (the fixture role run_pipeline.py's curated JSON overlays play).
+_IMPLIED_DISEASE = [("CVCL:0000", "DOID:0001"), ("CVCL:0002", "DOID:0002"),
+                    ("CVCL:0002", "DOID:0022"), ("CVCL:0004", "DOID:0004")]
+_CONSEQUENT_TERMS = [("T:3", "CONS:A"), ("T:7", "CONS:B"),
+                     ("T:7", "CONS:B2"), ("CVCL:0004", "CONS:C")]
+_CVCL_TERMS = [("CVCL:0000", "UBERON:0001"), ("CVCL:0000", "DOID:0001"),
+               ("CVCL:0006", "CL:0099"), ("CVCL:0008", "EFO:0042")]
+_CVCL_REAL_VALS = [("CVCL:0000", "EFO:0000246", 42.0, "UO:0000036"),
+                   ("CVCL:0006", "PROP:BMI", 21.5, "UO:0000032")]
+
+
+def _q47_terms(spark, sf):
+    """Deterministic per-doc term sets: every doc holds T:<doc_id%20>;
+    even docs additionally hold CVCL:000<doc_id%10> (an id-space the
+    inference stages key on)."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    base = d.select("doc_id", F.concat(F.lit("T:"),
+                                       (F.col("doc_id") % 20).cast("string"))
+                    .alias("term_id"))
+    cvcl = (d.where(F.col("doc_id") % 2 == 0)
+            .select("doc_id", F.concat(
+                F.lit("CVCL:000"),
+                (F.col("doc_id") % 10).cast("string")).alias("term_id")))
+    return base.unionByName(cvcl)
+
+
+def _q47_inference_edges(spark, sf):
+    """I2 CellLineToImpliedDisease (pipeline_components.py:1109-1128),
+    I3 CustomConsequentTerms (:1436-1455), I4 ConsequentCulturedCell
+    (:1481-1500) and I5 InferCellLineTerms (:1517-1537) through the
+    REAL inference operators over a deterministic per-doc term set and
+    inline curated lookups; I5's inferred real-value rows are folded in
+    as rv-typed edges so both halves of its output are pinned."""
+    from types import SimpleNamespace
+
+    from metasra_pipeline_spark.operators.inference import (
+        cell_line_to_implied_disease,
+        consequent_cultured_cell,
+        custom_consequent_terms,
+        infer_cell_line_terms,
+    )
+    terms = _q47_terms(spark, sf)
+    ref = SimpleNamespace(
+        implied_disease=spark.createDataFrame(
+            _IMPLIED_DISEASE, "term_id: string, implied_id: string"),
+        consequent_terms=spark.createDataFrame(
+            _CONSEQUENT_TERMS, "term_id: string, conseq_id: string"),
+        cvcl_terms=spark.createDataFrame(
+            _CVCL_TERMS, "cvcl_id: string, mapped_id: string"),
+        cvcl_real_vals=spark.createDataFrame(
+            _CVCL_REAL_VALS,
+            "cvcl_id: string, property_id: string, value: double, "
+            "unit_id: string"))
+    i2 = cell_line_to_implied_disease(terms, ref)
+    i3 = custom_consequent_terms(terms, ref)
+    i4 = consequent_cultured_cell(terms)
+    i5_edges, i5_rvs = infer_cell_line_terms(terms, ref)
+    rv_as_edges = i5_rvs.select(
+        "doc_id", "src_id",
+        F.concat("property_id", F.lit("="),
+                 F.format_number("value", 1), F.lit("|"),
+                 "unit_id").alias("dst_id"),
+        F.lit("rv").alias("itype"))
+    return (i2.unionByName(i3).unionByName(i4).unionByName(i5_edges)
+            .unionByName(rv_as_edges)
+            .select("doc_id", "src_id", "dst_id", "itype").distinct())
+
+
+#: J3 two-char whitelist / J4 noun-phrase targets, mirrored into q48's
+#: oracle VALUES.  Entries chosen to actually occur in the sf corpus.
+_TWO_CHAR = [("of", "T:OF"), ("to", "T:TO"), ("in", "T:IN1"),
+             ("in", "T:IN2")]
+_NOUN_PHRASES = ["the", "data", "with", "analysis"]
+
+
+def _q48_custom_matches(spark, sf):
+    """J3 TwoCharMappings_Stage (pipeline_components.py:298-320) and J4
+    ExactMatchCustomTargets_Stage (:1089-1106) through the REAL match
+    operators over the corpus token intervals; a multi-target two-char
+    token (`in`) and the NP: id-space prefix are both exercised."""
+    from types import SimpleNamespace
+
+    from metasra_pipeline_spark.operators.stages import (
+        noun_phrase_match,
+        two_char_match,
+    )
+    tok = _tok_intervals(spark, sf).withColumnRenamed("tok", "token")
+    ref = SimpleNamespace(
+        two_char=spark.createDataFrame(_TWO_CHAR,
+                                       "token: string, term_id: string"),
+        noun_phrases=spark.createDataFrame([(p,) for p in _NOUN_PHRASES],
+                                           "phrase: string"))
+    j3 = two_char_match(tok, ref)
+    j4 = noun_phrase_match(tok, ref)
+    return (j3.unionByName(j4)
+            .select("doc_id", "token", "start", "end", "target_id",
+                    "match_target"))
+
+
+#: F1 key/value blocklists, mirrored into q49's oracle VALUES.
+_FILTER_KEYS = ["biomaterial provider", "lab", "id"]
+_FILTER_VALUES = ["missing", "n/a", "not applicable"]
+
+
+def _q49_kv(spark, sf):
+    """Deterministic kv frame with running char intervals: each doc
+    carries (key cycling through a small curated list incl. blocklisted
+    ones, value = its own source field or a blocklisted literal)."""
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    key = F.element_at(
+        F.array(F.lit("tissue"), F.lit("lab"), F.lit("age"),
+                F.lit("id"), F.lit("strain")),
+        (F.col("doc_id") % 5 + 1).cast("int"))
+    val = F.when(F.col("doc_id") % 7 == 0, F.lit("missing")) \
+           .when(F.col("doc_id") % 11 == 0, F.lit("n/a")) \
+           .otherwise(F.col("source"))
+    kv = d.select("doc_id", key.alias("key"), val.alias("value"))
+    return kv.select(
+        "doc_id", "key", "value",
+        F.lit(0).alias("key_start"),
+        F.length("key").cast("int").alias("key_end"),
+        (F.length("key") + 2).cast("int").alias("val_start"),
+        (F.length("key") + 2 + F.length("value")).cast("int")
+        .alias("val_end"))
+
+
+def _q49_filter_init_tokens(spark, sf):
+    """F1 KeyValueFilter_Stage (pipeline_components.py:264-295) + F3
+    InitKeyValueTokens_Stage (:238-261) through the REAL stage
+    operators: blocklisted keys (`lab`, `id`) and values (`missing`,
+    `n/a`) drop their kv pairs; survivors emit one key token and one
+    value token carrying the running char intervals."""
+    from types import SimpleNamespace
+
+    from metasra_pipeline_spark.operators.stages import (
+        init_tokens,
+        key_value_filter,
+    )
+    kv = _q49_kv(spark, sf)
+    ref = SimpleNamespace(
+        filter_keys=spark.createDataFrame([(k,) for k in _FILTER_KEYS],
+                                          "key: string"),
+        filter_values=spark.createDataFrame([(v,) for v in _FILTER_VALUES],
+                                            "value: string"))
+    return init_tokens(key_value_filter(kv, ref)).select(
+        "doc_id", "token", "start", "end")
+
+
 def _er_span_docs(spark, sf):
     """Interleaved span documents (input_hint shape) synthesized
     deterministically from the sf `documents` table — shared corpus for
@@ -1068,6 +1217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_ancestor_closure": _q44_ancestor_closure,
         "q45_time_unit_parse": _q45_time_unit_parse,
         "q46_real_value_extraction": _q46_real_value_extraction,
+        "q47_inference_edges": _q47_inference_edges,
+        "q48_custom_matches": _q48_custom_matches,
+        "q49_filter_init_tokens": _q49_filter_init_tokens,
         "q93_er_native": _q93_er_native,
         "q94_er_incremental_native": _q94_er_incremental_native,
         "q90_er_resolve": _q90_er_resolve,
@@ -1874,6 +2026,103 @@ def oracle_sql() -> dict[str, str]:
         # unconditional) → threshold → exact-dup star edges →
         # recursive-CTE transitive closure.  Mirrors
         # er/resolution.py:resolve_entities_native exactly.
+        # I2/I3/I4/I5: inference lookup-join row generators over the
+        # deterministic per-doc term set; rv rows rendered as rv-typed
+        # edges exactly like the Spark side.
+        "q47_inference_edges": f"""
+            WITH d AS (SELECT doc_id FROM documents),
+            terms AS (
+                SELECT doc_id, 'T:' || CAST(doc_id % 20 AS VARCHAR)
+                         AS term_id
+                FROM d
+                UNION ALL
+                SELECT doc_id, 'CVCL:000' || CAST(doc_id % 10 AS VARCHAR)
+                FROM d WHERE doc_id % 2 = 0),
+            impl(term_id, implied_id) AS (VALUES
+                {", ".join(f"('{a}', '{b}')" for a, b in _IMPLIED_DISEASE)}),
+            conseq(term_id, conseq_id) AS (VALUES
+                {", ".join(f"('{a}', '{b}')" for a, b in _CONSEQUENT_TERMS)}),
+            cvclt(cvcl_id, mapped_id) AS (VALUES
+                {", ".join(f"('{a}', '{b}')" for a, b in _CVCL_TERMS)}),
+            cvclrv(cvcl_id, property_id, value, unit_id) AS (VALUES
+                {", ".join(f"('{a}', '{b}', {v}, '{u}')"
+                           for a, b, v, u in _CVCL_REAL_VALS)})
+            SELECT DISTINCT * FROM (
+                SELECT t.doc_id, t.term_id AS src_id,
+                       i.implied_id AS dst_id,
+                       'Cell line to implied disease' AS itype
+                FROM terms t JOIN impl i USING (term_id)
+                UNION ALL
+                SELECT t.doc_id, t.term_id, c.conseq_id,
+                       'Custom consequent term'
+                FROM terms t JOIN conseq c USING (term_id)
+                UNION ALL
+                SELECT t.doc_id, t.term_id, v.dst_id,
+                       'Cell culture from cell line'
+                FROM terms t CROSS JOIN (VALUES ('CL:0000010'),
+                                                ('EFO_BTO:0000214'))
+                               v(dst_id)
+                WHERE string_split(t.term_id, ':')[1] = 'CVCL'
+                UNION ALL
+                SELECT t.doc_id, t.term_id, m.mapped_id,
+                       'Inferred from cell line data'
+                FROM terms t JOIN cvclt m ON t.term_id = m.cvcl_id
+                UNION ALL
+                SELECT t.doc_id, t.term_id,
+                       r.property_id || '=' || printf('%.1f', r.value)
+                         || '|' || r.unit_id,
+                       'rv'
+                FROM terms t JOIN cvclrv r ON t.term_id = r.cvcl_id)""",
+        # J3 two-char whitelist + J4 noun-phrase custom targets over the
+        # corpus token intervals.
+        "q48_custom_matches": f"""
+            WITH tk AS (
+                SELECT DISTINCT doc_id, tok AS token,
+                       CAST(strpos(t, tok) - 1 AS INT) AS "start",
+                       CAST(strpos(t, tok) - 1 + len(tok) AS INT) AS "end"
+                FROM (SELECT doc_id, lower(text) AS t,
+                             unnest(list_filter(regexp_split_to_array(
+                               lower(text), '[^0-9a-z]+'),
+                               x -> len(x) > 0)) AS tok
+                      FROM documents)),
+            twoch(token, term_id) AS (VALUES
+                {", ".join(f"('{a}', '{b}')" for a, b in _TWO_CHAR)}),
+            np(phrase) AS (VALUES
+                {", ".join(f"('{p}')" for p in _NOUN_PHRASES)})
+            SELECT tk.doc_id, tk.token, tk."start", tk."end",
+                   w.term_id AS target_id,
+                   'CUSTOM_TWO_CHAR_MATCH' AS match_target
+            FROM tk JOIN twoch w USING (token)
+            UNION ALL
+            SELECT tk.doc_id, tk.token, tk."start", tk."end",
+                   'NP:' || np.phrase,
+                   'CUSTOM_NOUN_PHRASE'
+            FROM tk JOIN np ON tk.token = np.phrase""",
+        # F1 key/value blocklist anti-joins + F3 per-kv key/value tokens
+        # carrying the running char intervals.
+        "q49_filter_init_tokens": f"""
+            WITH kv AS (
+                SELECT doc_id,
+                       list_extract(['tissue', 'lab', 'age', 'id',
+                                     'strain'],
+                                    CAST(doc_id % 5 + 1 AS INT)) AS key,
+                       CASE WHEN doc_id % 7 = 0 THEN 'missing'
+                            WHEN doc_id % 11 = 0 THEN 'n/a'
+                            ELSE source END AS value
+                FROM documents),
+            kept AS (
+                SELECT * FROM kv
+                WHERE key NOT IN
+                        ({", ".join(f"'{k}'" for k in _FILTER_KEYS)})
+                  AND value NOT IN
+                        ({", ".join(f"'{v}'" for v in _FILTER_VALUES)}))
+            SELECT doc_id, key AS token, 0 AS "start",
+                   CAST(len(key) AS INT) AS "end"
+            FROM kept
+            UNION ALL
+            SELECT doc_id, value, CAST(len(key) + 2 AS INT),
+                   CAST(len(key) + 2 + len(value) AS INT)
+            FROM kept""",
         "q93_er_native": f"""
             WITH RECURSIVE tk AS (
               SELECT concat('D', lpad(CAST(doc_id AS VARCHAR), 8, '0'))
