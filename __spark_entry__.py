@@ -1037,6 +1037,143 @@ def _q49_filter_init_tokens(spark, sf):
         "doc_id", "token", "start", "end")
 
 
+def _q50_blocked_matches(spark, sf):
+    """P4 BlockCellLineNonCellLineKey_Stage
+    (pipeline_components.py:464-546) through the REAL precedence
+    operator: per doc, two kv pairs (kv1 keyed cell-line-typed on d%3==0
+    docs via an EFO:0000322 key match, kv2 always generic); CVCL:0077 in
+    kv1's value is protected inside a cell-line kv (d%6==0) but deleted
+    when kv1 is generic (d%2==0, d%3!=0); CVCL:0088 in kv2's value is
+    always triggered and never protected; the non-cell-line UBERON match
+    is untouched."""
+    from metasra_pipeline_spark.operators.precedence import (
+        block_cell_line_matches,
+    )
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    kv = (d.select("doc_id", F.lit(0).alias("key_start"),
+                   F.lit(8).alias("key_end"), F.lit(10).alias("val_start"),
+                   F.lit(30).alias("val_end"))
+          .unionByName(d.select(
+              "doc_id", F.lit(40).alias("key_start"),
+              F.lit(45).alias("key_end"), F.lit(50).alias("val_start"),
+              F.lit(70).alias("val_end"))))
+
+    def _m(cond, s, e, tid):
+        return d.where(cond).select(
+            "doc_id", F.lit(s).alias("start"), F.lit(e).alias("end"),
+            F.lit(tid).alias("target_id"))
+
+    matches = (_m(did % 3 == 0, 0, 8, "EFO:0000322")
+               .unionByName(_m(did % 2 == 0, 10, 18, "CVCL:0077"))
+               .unionByName(_m(did % 5 == 0, 50, 58, "CVCL:0088"))
+               .unionByName(_m(did >= 0, 12, 20, "UBERON:0002")))
+    cl_terms = spark.createDataFrame([("CVCL:0077",), ("CVCL:0088",)],
+                                     "term_id: string")
+    return block_cell_line_matches(
+        kv, matches, ["EFO:0000322", "EFO:0000324"], cl_terms).select(
+        "doc_id", "start", "end", "target_id")
+
+
+#: I7 combination fixtures, mirrored into q51's oracle VALUES.
+#: (combo_id, required_term, n_required_artifacts, consequent_term)
+_COMBO_REQUIRED = [("C1", "T:1", 1, "CONS:X"), ("C1", "T:2", 1, "CONS:X"),
+                   ("C2", "T:0", 2, "CONS:Y")]
+#: (combo_id, artifact_set_id, artifact) — artifacts are common corpus
+#: tokens so coverage varies per doc.
+_COMBO_ARTIFACTS = [("C1", "S1", "the"), ("C1", "S1", "of"),
+                    ("C2", "S1", "data"), ("C2", "S2", "with"),
+                    ("C2", "S2", "for")]
+
+
+def _q51_artifact_combos(spark, sf):
+    """I7 TermArtifactCombinations_Stage (pipeline_components.py:951-1009)
+    through the REAL inference operator: a doc fires a combo iff it holds
+    every required term AND tokens from >= n_required_artifacts distinct
+    artifact sets; one edge per required term node.  Term sets T:(d%4) +
+    T:(d%5) make the two-required-term combo C1 fire only on docs where
+    the pair {T:1, T:2} co-occurs; C2 needs both its artifact sets
+    covered."""
+    from types import SimpleNamespace
+
+    from metasra_pipeline_spark.operators.inference import (
+        term_artifact_combinations,
+    )
+    d = _t(spark, sf, "documents").select("doc_id")
+    terms = (d.select("doc_id", F.concat(
+                F.lit("T:"), (F.col("doc_id") % 4).cast("string"))
+                .alias("term_id"))
+             .unionByName(d.select("doc_id", F.concat(
+                 F.lit("T:"), (F.col("doc_id") % 5).cast("string"))
+                 .alias("term_id")))
+             .distinct())
+    tok = (_t(spark, sf, "documents")
+           .select("doc_id", F.explode(F.split(F.lower("text"),
+                                               _TOK_RE)).alias("token"))
+           .where(F.length("token") > 0))
+    ref = SimpleNamespace(
+        combo_required_terms=spark.createDataFrame(
+            _COMBO_REQUIRED,
+            "combo_id: string, required_term: string, "
+            "n_required_artifacts: int, consequent_term: string"),
+        combo_artifacts=spark.createDataFrame(
+            _COMBO_ARTIFACTS,
+            "combo_id: string, artifact_set_id: string, artifact: string"))
+    return term_artifact_combinations(tok, terms, ref).select(
+        "doc_id", "src_id", "dst_id", "itype")
+
+
+def _q52_consolidate_flags(spark, sf):
+    """A2 consequent flag + A3 real-value-property exclusion + A4
+    mappable filter (+ the seed/closure reachability they act on)
+    through the REAL consolidate operator (run_pipeline.py:75-121,
+    pipeline_components.py:132-230): NP: targets never emit; RV:-source
+    edges seed their dst; a consequent-only chain (T -> CONS -> DEEP)
+    stays consequent=true at depth 2; a non-consequent in-edge flips
+    EXP:2 to explicit; an edge from an unreachable GHOST source emits
+    nothing; T:7 is blacklisted; (doc, T:0) pairs acting as real-value
+    properties are excluded."""
+    from types import SimpleNamespace
+
+    from metasra_pipeline_spark.operators.consolidate import consolidate
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    t_term = F.concat(F.lit("T:"), (did % 8).cast("string"))
+    matches = (d.select("doc_id", t_term.alias("target_id"))
+               .unionByName(d.where(did % 2 == 0).select(
+                   "doc_id", F.concat(F.lit("CVCL:000"),
+                                      (did % 10).cast("string"))
+                   .alias("target_id")))
+               .unionByName(d.select(
+                   "doc_id", F.lit("NP:foo").alias("target_id"))))
+
+    def _e(cond, src, dst, itype):
+        return d.where(cond).select(
+            "doc_id", src.alias("src_id"), dst.alias("dst_id"),
+            F.lit(itype).alias("itype"))
+
+    cons = F.concat(F.lit("CONS:"), (did % 3).cast("string"))
+    inf_edges = (
+        _e(did % 2 == 0, t_term, cons, "Custom consequent term")
+        .unionByName(_e(did % 3 == 0, cons, F.lit("DEEP:1"),
+                        "Linked term of superterm"))
+        .unionByName(_e(did % 5 == 0, t_term, F.lit("EXP:2"), "Derived"))
+        .unionByName(_e(did % 7 == 0, F.lit("RV:EFO:0000246"),
+                        F.lit("RVT:9"), "Infer developmental stage"))
+        .unionByName(_e(did % 9 == 0, F.lit("GHOST:1"), F.lit("NOWHERE:5"),
+                        "Custom consequent term")))
+    real_values = d.where(did % 16 == 0).select(
+        "doc_id", F.lit("T:0").alias("property_id"))
+    ref = SimpleNamespace(
+        mappable_prefixes=["T", "CONS", "DEEP", "CVCL", "RVT", "EXP",
+                           "NOWHERE"],
+        nonmappable_terms=["T:7"])
+    return consolidate(matches, inf_edges, real_values, ref,
+                       with_provenance=False).select(
+        "doc_id", "term_id", F.col("consequent").cast("int")
+        .alias("consequent"))
+
+
 def _er_span_docs(spark, sf):
     """Interleaved span documents (input_hint shape) synthesized
     deterministically from the sf `documents` table — shared corpus for
@@ -1220,6 +1357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_inference_edges": _q47_inference_edges,
         "q48_custom_matches": _q48_custom_matches,
         "q49_filter_init_tokens": _q49_filter_init_tokens,
+        "q50_block_cell_line": _q50_blocked_matches,
+        "q51_artifact_combos": _q51_artifact_combos,
+        "q52_consolidate_flags": _q52_consolidate_flags,
         "q93_er_native": _q93_er_native,
         "q94_er_incremental_native": _q94_er_incremental_native,
         "q90_er_resolve": _q90_er_resolve,
@@ -2098,6 +2238,198 @@ def oracle_sql() -> dict[str, str]:
                    'NP:' || np.phrase,
                    'CUSTOM_NOUN_PHRASE'
             FROM tk JOIN np ON tk.token = np.phrase""",
+        # P4: cell-line matches under a non-cell-line key are deleted
+        # unless protected by evidence inside a cell-line-typed kv.
+        "q50_block_cell_line": """
+            WITH d AS (SELECT doc_id FROM documents),
+            kv AS (
+                SELECT doc_id, 0 AS key_start, 8 AS key_end,
+                       10 AS val_start, 30 AS val_end FROM d
+                UNION ALL
+                SELECT doc_id, 40, 45, 50, 70 FROM d),
+            m AS (
+                SELECT doc_id, 0 AS "start", 8 AS "end",
+                       'EFO:0000322' AS target_id FROM d WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id, 10, 18, 'CVCL:0077' FROM d WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id, 50, 58, 'CVCL:0088' FROM d WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id, 12, 20, 'UBERON:0002' FROM d),
+            clkv AS (
+                SELECT DISTINCT kv.doc_id, kv.key_start, kv.key_end,
+                       kv.val_start, kv.val_end
+                FROM kv JOIN m ON kv.doc_id = m.doc_id
+                WHERE m."start" >= kv.key_start AND m."end" <= kv.key_end
+                  AND m.target_id IN ('EFO:0000322', 'EFO:0000324')),
+            clm AS (
+                SELECT * FROM m
+                WHERE target_id IN ('CVCL:0077', 'CVCL:0088')),
+            protected AS (
+                SELECT DISTINCT c.doc_id, c.target_id
+                FROM clm c JOIN clkv k ON c.doc_id = k.doc_id
+                WHERE (c."start" >= k.key_start AND c."end" <= k.key_end)
+                   OR (c."start" >= k.val_start AND c."end" <= k.val_end)),
+            nonclkv AS (
+                SELECT kv.doc_id, kv.val_start, kv.val_end
+                FROM kv
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM clkv
+                    WHERE clkv.doc_id = kv.doc_id
+                      AND clkv.key_start = kv.key_start)),
+            triggered AS (
+                SELECT DISTINCT c.doc_id, c.target_id
+                FROM clm c JOIN nonclkv k ON c.doc_id = k.doc_id
+                WHERE c."start" >= k.val_start AND c."end" <= k.val_end),
+            deleted AS (
+                SELECT t.doc_id, t.target_id FROM triggered t
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM protected p
+                    WHERE p.doc_id = t.doc_id
+                      AND p.target_id = t.target_id))
+            SELECT m.doc_id, m."start", m."end", m.target_id
+            FROM m
+            WHERE NOT EXISTS (
+                SELECT 1 FROM deleted x
+                WHERE x.doc_id = m.doc_id
+                  AND x.target_id = m.target_id)""",
+        # I7: combo fires iff all required terms present AND tokens from
+        # >= n_required_artifacts distinct artifact sets; one edge per
+        # required term.
+        "q51_artifact_combos": f"""
+            WITH d AS (SELECT doc_id FROM documents),
+            terms AS (
+                SELECT DISTINCT doc_id, term_id FROM (
+                    SELECT doc_id,
+                           'T:' || CAST(doc_id % 4 AS VARCHAR) AS term_id
+                    FROM d
+                    UNION ALL
+                    SELECT doc_id, 'T:' || CAST(doc_id % 5 AS VARCHAR)
+                    FROM d)),
+            req(combo_id, required_term, n_required_artifacts,
+                consequent_term) AS (VALUES
+                {", ".join(f"('{c}', '{t}', {n}, '{q}')"
+                           for c, t, n, q in _COMBO_REQUIRED)}),
+            art(combo_id, artifact_set_id, artifact) AS (VALUES
+                {", ".join(f"('{c}', '{s}', '{a}')"
+                           for c, s, a in _COMBO_ARTIFACTS)}),
+            tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(
+                         lower(text), '[^0-9a-z]+'), x -> len(x) > 0))
+                         AS token
+                FROM documents),
+            have AS (
+                SELECT t.doc_id, r.combo_id, r.n_required_artifacts,
+                       r.consequent_term,
+                       count(DISTINCT r.required_term) AS n_have
+                FROM terms t JOIN req r ON t.term_id = r.required_term
+                GROUP BY 1, 2, 3, 4),
+            nreq AS (
+                SELECT combo_id,
+                       count(DISTINCT required_term) AS n_req
+                FROM req GROUP BY 1),
+            terms_ok AS (
+                SELECT h.doc_id, h.combo_id, h.n_required_artifacts,
+                       h.consequent_term
+                FROM have h JOIN nreq USING (combo_id)
+                WHERE h.n_have = nreq.n_req),
+            art_hits AS (
+                SELECT tok.doc_id, art.combo_id,
+                       count(DISTINCT art.artifact_set_id) AS n_sets
+                FROM tok JOIN art ON tok.token = art.artifact
+                GROUP BY 1, 2),
+            fired AS (
+                SELECT o.doc_id, o.combo_id, o.consequent_term
+                FROM terms_ok o JOIN art_hits a
+                  ON o.doc_id = a.doc_id AND o.combo_id = a.combo_id
+                WHERE a.n_sets >= o.n_required_artifacts)
+            SELECT DISTINCT f.doc_id, r.required_term AS src_id,
+                   f.consequent_term AS dst_id,
+                   'Found co-occuring artifacts' AS itype
+            FROM fired f
+            JOIN req r USING (combo_id)
+            JOIN terms t ON t.doc_id = f.doc_id
+                        AND t.term_id = r.required_term""",
+        # A2/A3/A4 + seed/closure reachability: recursive closure over
+        # non-RV inference edges from the seed set; consequent = no
+        # match row and no non-consequent in-edge; mappable prefixes,
+        # blacklist, rv-property exclusion.
+        "q52_consolidate_flags": """
+            WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+            m AS (
+                SELECT doc_id,
+                       'T:' || CAST(doc_id % 8 AS VARCHAR) AS target_id
+                FROM d
+                UNION ALL
+                SELECT doc_id, 'CVCL:000' || CAST(doc_id % 10 AS VARCHAR)
+                FROM d WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id, 'NP:foo' FROM d),
+            e AS (
+                SELECT doc_id,
+                       'T:' || CAST(doc_id % 8 AS VARCHAR) AS src_id,
+                       'CONS:' || CAST(doc_id % 3 AS VARCHAR) AS dst_id,
+                       'Custom consequent term' AS itype
+                FROM d WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id, 'CONS:' || CAST(doc_id % 3 AS VARCHAR),
+                       'DEEP:1', 'Linked term of superterm'
+                FROM d WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id, 'T:' || CAST(doc_id % 8 AS VARCHAR),
+                       'EXP:2', 'Derived'
+                FROM d WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id, 'RV:EFO:0000246', 'RVT:9',
+                       'Infer developmental stage'
+                FROM d WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id, 'GHOST:1', 'NOWHERE:5',
+                       'Custom consequent term'
+                FROM d WHERE doc_id % 9 = 0),
+            seeds AS (
+                SELECT DISTINCT doc_id, target_id AS term_id FROM m
+                WHERE target_id NOT LIKE 'NP:%'
+                UNION
+                SELECT DISTINCT doc_id, dst_id FROM e
+                WHERE src_id LIKE 'RV:%'),
+            te AS (
+                SELECT DISTINCT doc_id, src_id, dst_id FROM e
+                WHERE src_id NOT LIKE 'RV:%'),
+            reach AS (
+                SELECT doc_id, term_id FROM seeds
+                UNION
+                SELECT te.doc_id, te.dst_id
+                FROM reach JOIN te
+                  ON reach.doc_id = te.doc_id
+                 AND reach.term_id = te.src_id),
+            explicit AS (
+                SELECT DISTINCT doc_id, target_id AS term_id FROM m
+                WHERE target_id NOT LIKE 'NP:%'
+                UNION
+                SELECT DISTINCT doc_id, dst_id FROM e
+                WHERE itype NOT IN ('Custom consequent term',
+                                    'Linked term of superterm',
+                                    'Cell culture from cell line',
+                                    'Infer developmental stage',
+                                    'Inferred from cell line data')),
+            rvprops AS (
+                SELECT doc_id, 'T:0' AS term_id FROM d
+                WHERE doc_id % 16 = 0)
+            SELECT r.doc_id, r.term_id,
+                   CASE WHEN x.term_id IS NULL THEN 1 ELSE 0 END
+                     AS consequent
+            FROM reach r
+            LEFT JOIN explicit x
+              ON r.doc_id = x.doc_id AND r.term_id = x.term_id
+            WHERE string_split(r.term_id, ':')[1] IN
+                    ('T', 'CONS', 'DEEP', 'CVCL', 'RVT', 'EXP', 'NOWHERE')
+              AND r.term_id <> 'T:7'
+              AND NOT EXISTS (
+                  SELECT 1 FROM rvprops p
+                  WHERE p.doc_id = r.doc_id
+                    AND p.term_id = r.term_id)""",
         # F1 key/value blocklist anti-joins + F3 per-kv key/value tokens
         # carrying the running char intervals.
         "q49_filter_init_tokens": f"""
