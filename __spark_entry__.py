@@ -1174,6 +1174,102 @@ def _q52_consolidate_flags(spark, sf):
         .alias("consequent"))
 
 
+def _q53_provenance(spark, sf):
+    """A1 term_provenance (the flattened reverse-Dijkstra analogue,
+    pipeline_components.py:132-230 + text_reasoning_graph.py:465-516)
+    through the REAL consolidation operator: per (doc, term), the
+    minimum-depth kv-anchored path with the reference's tie order
+    (depth, key_start, match start).  Branches: a term matched under
+    two kv pairs (key_start tie-break), an inference dst reachable from
+    two sources at equal depth (start tie-break), an RV:-source edge
+    inheriting the property term's provenance, and a depth-2 chain."""
+    from metasra_pipeline_spark.operators.consolidate import term_provenance
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    kv = (d.select("doc_id", F.lit("age").alias("key"),
+                   F.concat(F.lit("v"), did.cast("string")).alias("value"),
+                   F.lit(0).alias("key_start"), F.lit(3).alias("key_end"),
+                   F.lit(10).alias("val_start"), F.lit(40).alias("val_end"))
+          .unionByName(d.select(
+              "doc_id", F.lit("tissue").alias("key"),
+              F.concat(F.lit("w"), did.cast("string")).alias("value"),
+              F.lit(50).alias("key_start"), F.lit(56).alias("key_end"),
+              F.lit(60).alias("val_start"), F.lit(90).alias("val_end"))))
+
+    def _m(cond, tok, s, e, tid, mt, ed):
+        return d.where(cond).select(
+            "doc_id", F.lit(tok).alias("token"), F.lit(s).alias("start"),
+            F.lit(e).alias("end"), F.lit(tid).alias("target_id"),
+            F.lit(mt).alias("match_target"), F.lit(ed).alias("edit_dist"))
+
+    matches = (_m(did >= 0, "age", 0, 3, "T:KEY", "TERM_NAME", 0)
+               .unionByName(_m(did % 2 == 0, "x", 12, 13, "T:VAL",
+                               "EXACT_SYNONYM", 1))
+               .unionByName(_m(did % 3 == 0, "tissue", 50, 56, "T:KEY",
+                               "TERM_NAME", 0)))
+
+    def _e(cond, src, dst, itype):
+        return d.where(cond).select(
+            "doc_id", F.lit(src).alias("src_id"), F.lit(dst).alias("dst_id"),
+            F.lit(itype).alias("itype"))
+
+    inf_edges = (_e(did % 2 == 0, "T:VAL", "I:1", "Custom consequent term")
+                 .unionByName(_e(did % 4 == 0, "T:KEY", "I:1",
+                                 "Linked term of superterm"))
+                 .unionByName(_e(did % 5 == 0, "RV:T:KEY", "R:2",
+                                 "Infer developmental stage"))
+                 .unionByName(_e(did % 3 == 0, "I:1", "DEEP:3",
+                                 "Custom consequent term")))
+    return term_provenance(matches, inf_edges, kv).select(
+        "doc_id", "term_id", "orig_key", "orig_val",
+        F.array_join("mapping_path", " > ").alias("path"))
+
+
+def _q54_expansion_edges(spark, sf):
+    """T2 Lowercase / T3 Delimit(+ _ - /) / T4 inflectional / T5
+    spelling / T6 synonym / T8 acronym stages through the REAL fused
+    expansion operator (run_pipeline.py:182-192; the one-pass
+    snapshot-ordered closure of pipeline_components.py:323-690):
+    derivation edges with doc-absolute intervals.  Branches: an initcap
+    token lowercased then inflected, a mixed-case underscore token
+    split from BOTH case variants (the already-lowercase part arrives
+    via two parents), a spelling variant of a split part, hyphen /
+    plus / slash splits, and a synonym + acronym expansion of a split
+    part.  T1 n-grams contribute nothing by construction (single-word
+    tokens), pinning the stage's no-op branch."""
+    from types import SimpleNamespace
+
+    from metasra_pipeline_spark.operators.stages import expansion_edges
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    k = (did % 3).cast("string")
+    a = (did % 7).cast("string")
+    b = (did % 5).cast("string")
+    t1 = F.concat(F.lit("Gene"), k)
+    t2 = F.concat(F.lit("Ab"), k, F.lit("_beta"), b)
+    t3 = F.concat(F.lit("alpha"), a, F.lit("-beta"), b)
+    t4 = F.concat(F.lit("alpha"), a, F.lit("+cd4"))
+    t5 = F.concat(F.lit("alpha"), a, F.lit("/beta"), b)
+
+    def _tok(expr, s):
+        return d.select("doc_id", expr.alias("token"),
+                        F.lit(s).alias("start"),
+                        (F.lit(s) + F.length(expr)).cast("int").alias("end"))
+
+    tok = (_tok(t1, 0).unionByName(_tok(t2, 10)).unionByName(_tok(t3, 30))
+           .unionByName(_tok(t4, 50)).unionByName(_tok(t5, 70)))
+    ref = SimpleNamespace(raw={
+        "syn_sets": [["cd4", "tcell"]],
+        "acronyms": {"cd4": ["cluster of differentiation 4"]},
+        "inflection_variants": {f"gene{i}": [f"genes{i}"]
+                                for i in range(3)},
+        "spelling_variants": {f"ab{i}": [f"aybee{i}"] for i in range(3)},
+    })
+    return expansion_edges(tok, ref).select(
+        "doc_id", "ptoken", "pstart", "pend", "token", "start", "end",
+        "kind")
+
+
 def _er_span_docs(spark, sf):
     """Interleaved span documents (input_hint shape) synthesized
     deterministically from the sf `documents` table — shared corpus for
@@ -1360,6 +1456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_block_cell_line": _q50_blocked_matches,
         "q51_artifact_combos": _q51_artifact_combos,
         "q52_consolidate_flags": _q52_consolidate_flags,
+        "q53_provenance": _q53_provenance,
+        "q54_expansion_edges": _q54_expansion_edges,
         "q93_er_native": _q93_er_native,
         "q94_er_incremental_native": _q94_er_incremental_native,
         "q90_er_resolve": _q90_er_resolve,
@@ -2430,6 +2528,134 @@ def oracle_sql() -> dict[str, str]:
                   SELECT 1 FROM rvprops p
                   WHERE p.doc_id = r.doc_id
                     AND p.term_id = r.term_id)""",
+        # A1: min-depth kv-anchored provenance path per (doc, term) —
+        # base layer anchored inside kv key/value spans, recursive
+        # expansion through inference edges (RV: sources hand their
+        # property term's provenance onward), reference tie order.
+        "q53_provenance": """
+            WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+            kv AS (
+                SELECT doc_id, 'age' AS key,
+                       'v' || CAST(doc_id AS VARCHAR) AS value,
+                       0 AS key_start, 3 AS key_end,
+                       10 AS val_start, 40 AS val_end
+                FROM d
+                UNION ALL
+                SELECT doc_id, 'tissue', 'w' || CAST(doc_id AS VARCHAR),
+                       50, 56, 60, 90
+                FROM d),
+            m AS (
+                SELECT doc_id, 'age' AS token, 0 AS "start", 3 AS "end",
+                       'T:KEY' AS target_id, 'TERM_NAME' AS match_target,
+                       0 AS edit_dist
+                FROM d
+                UNION ALL
+                SELECT doc_id, 'x', 12, 13, 'T:VAL', 'EXACT_SYNONYM', 1
+                FROM d WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id, 'tissue', 50, 56, 'T:KEY', 'TERM_NAME', 0
+                FROM d WHERE doc_id % 3 = 0),
+            e AS (
+                SELECT doc_id, 'T:VAL' AS src_id, 'I:1' AS dst_id,
+                       'Custom consequent term' AS itype
+                FROM d WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id, 'T:KEY', 'I:1', 'Linked term of superterm'
+                FROM d WHERE doc_id % 4 = 0
+                UNION ALL
+                SELECT doc_id, 'RV:T:KEY', 'R:2',
+                       'Infer developmental stage'
+                FROM d WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id, 'I:1', 'DEEP:3', 'Custom consequent term'
+                FROM d WHERE doc_id % 3 = 0),
+            ae AS (
+                SELECT doc_id,
+                       CASE WHEN src_id LIKE 'RV:%'
+                            THEN substr(src_id, 4) ELSE src_id END
+                         AS term_id,
+                       dst_id, itype
+                FROM e),
+            base AS (
+                SELECT m.doc_id, m.target_id AS term_id,
+                       kv.key AS orig_key, kv.value AS orig_val,
+                       0 AS depth, kv.key_start, m."start",
+                       'kv[' || side || ']:' || kv.key || '=' || kv.value
+                         || ' > tok:' || m.token
+                         || ' > match:' || m.match_target || ' edit='
+                         || CAST(m.edit_dist AS VARCHAR)
+                         || ' > term:' || m.target_id AS path
+                FROM m JOIN kv ON m.doc_id = kv.doc_id
+                CROSS JOIN (VALUES ('key'), ('val')) s(side)
+                WHERE (side = 'key' AND m."start" >= kv.key_start
+                       AND m."end" <= kv.key_end)
+                   OR (side = 'val' AND m."start" >= kv.val_start
+                       AND m."end" <= kv.val_end)),
+            prov AS (
+                SELECT * FROM base
+                UNION ALL
+                SELECT p.doc_id, ae.dst_id, p.orig_key, p.orig_val,
+                       p.depth + 1, p.key_start, p."start",
+                       p.path || ' > inf:' || ae.itype
+                              || ' > term:' || ae.dst_id
+                FROM prov p JOIN ae
+                  ON p.doc_id = ae.doc_id AND p.term_id = ae.term_id
+                WHERE p.depth < 6)
+            SELECT doc_id, term_id, orig_key, orig_val, path
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id, term_id
+                      ORDER BY depth, key_start, "start",
+                               orig_key, orig_val, path) AS rn
+                  FROM prov)
+            WHERE rn = 1""",
+        # T2-T8 expansion closure: the oracle independently derives
+        # which parents spawn which children at which intervals under
+        # the one-pass snapshot-ordered stage semantics (lowercase
+        # before delimit => split parts of the initcap variant are
+        # never re-lowercased; variant/synonym/acronym maps fire on
+        # exact standalone tokens only).
+        "q54_expansion_edges": """
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(doc_id % 3 AS VARCHAR) AS k,
+                       CAST(doc_id % 7 AS VARCHAR) AS a,
+                       CAST(doc_id % 5 AS VARCHAR) AS b
+                FROM documents)
+            SELECT doc_id, 'Gene' || k AS ptoken, 0 AS pstart,
+                   5 AS pend, 'gene' || k AS token, 0 AS "start",
+                   5 AS "end", 'Lowercase' AS kind
+            FROM d
+            UNION ALL SELECT doc_id, 'gene' || k, 0, 5,
+                   'genes' || k, 0, 5, 'Inflectional variant' FROM d
+            UNION ALL SELECT doc_id, 'Ab' || k || '_beta' || b, 10, 19,
+                   'ab' || k || '_beta' || b, 10, 19, 'Lowercase' FROM d
+            UNION ALL SELECT doc_id, 'Ab' || k || '_beta' || b, 10, 19,
+                   'Ab' || k, 10, 13, 'Delimiter' FROM d
+            UNION ALL SELECT doc_id, 'Ab' || k || '_beta' || b, 10, 19,
+                   'beta' || b, 14, 19, 'Delimiter' FROM d
+            UNION ALL SELECT doc_id, 'ab' || k || '_beta' || b, 10, 19,
+                   'ab' || k, 10, 13, 'Delimiter' FROM d
+            UNION ALL SELECT doc_id, 'ab' || k || '_beta' || b, 10, 19,
+                   'beta' || b, 14, 19, 'Delimiter' FROM d
+            UNION ALL SELECT doc_id, 'ab' || k, 10, 13,
+                   'aybee' || k, 10, 13, 'Spelling variant' FROM d
+            UNION ALL SELECT doc_id, 'alpha' || a || '-beta' || b, 30, 42,
+                   'alpha' || a, 30, 36, 'Delimiter' FROM d
+            UNION ALL SELECT doc_id, 'alpha' || a || '-beta' || b, 30, 42,
+                   'beta' || b, 37, 42, 'Delimiter' FROM d
+            UNION ALL SELECT doc_id, 'alpha' || a || '+cd4', 50, 60,
+                   'alpha' || a, 50, 56, 'Delimiter' FROM d
+            UNION ALL SELECT doc_id, 'alpha' || a || '+cd4', 50, 60,
+                   'cd4', 57, 60, 'Delimiter' FROM d
+            UNION ALL SELECT doc_id, 'cd4', 57, 60,
+                   'tcell', 57, 60, 'Synonym' FROM d
+            UNION ALL SELECT doc_id, 'cd4', 57, 60,
+                   'cluster of differentiation 4', 57, 60,
+                   'Acronym to expansion' FROM d
+            UNION ALL SELECT doc_id, 'alpha' || a || '/beta' || b, 70, 82,
+                   'alpha' || a, 70, 76, 'Delimiter' FROM d
+            UNION ALL SELECT doc_id, 'alpha' || a || '/beta' || b, 70, 82,
+                   'beta' || b, 77, 82, 'Delimiter' FROM d""",
         # F1 key/value blocklist anti-joins + F3 per-kv key/value tokens
         # carrying the running char intervals.
         "q49_filter_init_tokens": f"""
