@@ -1270,6 +1270,79 @@ def _q54_expansion_edges(spark, sf):
         "kind")
 
 
+def _q55_classifier_grams(spark, sf):
+    """C1/C2 per-field uni+bigram featurization
+    (learn_classifier.py:231-244) through the REAL featurizer: grams
+    never span two attributes, delimiters `_ / -` become spaces,
+    length<=1 tokens and stop-grams drop, and a doc whose every field
+    degenerates (len-1 token + stop word) keeps a zero-gram row — the
+    branch that protects prediction denominators.  Output is the
+    deterministic (doc, gram, n) count projection of the grams list."""
+    from metasra_pipeline_spark.functions.classifier import doc_field_grams
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    deg = d.where(did % 13 == 0).select(
+        "doc_id", F.lit("a").alias("key"), F.lit("of").alias("value"))
+    rest = (d.where(did % 13 != 0)
+            .select("doc_id", F.lit("cell_type").alias("key"),
+                    F.col("text").alias("value"))
+            .unionByName(d.where(did % 13 != 0).select(
+                "doc_id", F.lit("age-of.donor").alias("key"),
+                F.col("source").alias("value"))))
+    kv = deg.unionByName(rest)
+    return (doc_field_grams(kv)
+            .select("doc_id", F.explode_outer("grams").alias("gram"))
+            .withColumn("gram", F.coalesce("gram", F.lit("")))
+            .groupBy("doc_id", "gram").agg(F.count("*").alias("n")))
+
+
+def _q56_rule_overrides(spark, sf):
+    """C5 domain-rule overrides + C6 renormalize/argmax
+    (one_vs_rest_classifier_same_features.py:185-272) through the REAL
+    rule operators (_rule_flags + apply_rule_overrides) over synthetic
+    probability vectors: xenograft precedence, passage-number tissue /
+    primary-cells zeroing, Cellosaurus-subset masks (a doc whose
+    subsets jointly zero every type), the stem/cell-type/primary flags,
+    and the all-zeroed no-renormalize branch."""
+    from metasra_pipeline_spark.functions.classifier import (
+        SAMPLE_TYPES,
+        _rule_flags,
+        apply_rule_overrides,
+    )
+    label_list = sorted(SAMPLE_TYPES)
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    kv = d.select("doc_id", F.lit("k").alias("key"),
+                  F.lit("v").alias("value"))
+
+    def _mt(cond, tid):
+        return d.where(cond).select("doc_id", F.lit(tid).alias("term_id"))
+
+    mapped = (_mt(did % 11 == 0, "EFO:0003942")
+              .unionByName(_mt(did % 4 == 0, "CL:0000034"))
+              .unionByName(_mt(did % 6 == 0, "CL:0002371"))
+              .unionByName(_mt(did % 5 == 0, "CL:0000001"))
+              .unionByName(_mt(did % 3 == 0, "CVCL:A"))
+              .unionByName(_mt(did % 9 == 0, "CVCL:B")))
+    rv = (d.where(did % 2 == 0)
+          .select("doc_id", F.lit("EFO:0007061").alias("property_id"),
+                  F.lit("UO:0000189").alias("unit_id"),
+                  ((did % 3) - 1).cast("double").alias("value"))
+          .unionByName(d.select(
+              "doc_id", F.lit("EFO:0000246").alias("property_id"),
+              F.lit("UO:0000036").alias("unit_id"),
+              F.lit(30.0).alias("value"))))
+    subsets = spark.createDataFrame(
+        [("CVCL:A", "Cancer_cell_line"), ("CVCL:B", "Embryonic_stem_cell"),
+         ("CVCL:A", "Unknown_subset")], "cvcl_id: string, subset: string")
+    probs = d.select("doc_id", F.array(*[
+        (((did * 7 + i * 13) % 19) + 1).cast("double")
+        for i in range(len(label_list))]).alias("probs"))
+    pred = probs.join(_rule_flags(kv, mapped, rv, subsets),
+                      on="doc_id", how="left")
+    return apply_rule_overrides(pred, label_list)
+
+
 def _er_span_docs(spark, sf):
     """Interleaved span documents (input_hint shape) synthesized
     deterministically from the sf `documents` table — shared corpus for
@@ -1458,6 +1531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_consolidate_flags": _q52_consolidate_flags,
         "q53_provenance": _q53_provenance,
         "q54_expansion_edges": _q54_expansion_edges,
+        "q55_classifier_grams": _q55_classifier_grams,
+        "q56_rule_overrides": _q56_rule_overrides,
         "q93_er_native": _q93_er_native,
         "q94_er_incremental_native": _q94_er_incremental_native,
         "q90_er_resolve": _q90_er_resolve,
@@ -2656,6 +2731,119 @@ def oracle_sql() -> dict[str, str]:
                    'alpha' || a, 70, 76, 'Delimiter' FROM d
             UNION ALL SELECT doc_id, 'alpha' || a || '/beta' || b, 70, 82,
                    'beta' || b, 77, 82, 'Delimiter' FROM d""",
+        # C1/C2: per-field uni+bigram counts — delimiters to spaces,
+        # lowercase, length>1 tokens, adjacent bigrams within a field,
+        # stop-grams dropped, degenerate docs keep one ('',1) row.
+        "q55_classifier_grams": f"""
+            WITH fields AS (
+                SELECT doc_id, 'a' AS t FROM documents WHERE doc_id % 13 = 0
+                UNION ALL
+                SELECT doc_id, 'of' FROM documents WHERE doc_id % 13 = 0
+                UNION ALL
+                SELECT doc_id, 'cell_type' FROM documents
+                WHERE doc_id % 13 <> 0
+                UNION ALL
+                SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+                UNION ALL
+                SELECT doc_id, 'age-of.donor' FROM documents
+                WHERE doc_id % 13 <> 0
+                UNION ALL
+                SELECT doc_id, source FROM documents
+                WHERE doc_id % 13 <> 0),
+            tk AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                         lower(regexp_replace(t, '[_/\\-]', ' ', 'g')),
+                         '[^0-9a-z+.]+'), x -> len(x) > 1) AS toks
+                FROM fields),
+            grams AS (
+                SELECT doc_id, unnest(toks) AS gram FROM tk
+                UNION ALL
+                SELECT doc_id,
+                       unnest(list_transform(toks[2:],
+                              (x, i) -> toks[i] || ' ' || x))
+                FROM tk),
+            kept AS (
+                SELECT doc_id, gram FROM grams
+                WHERE gram NOT IN
+                    ({", ".join(f"'{s}'" for s in
+                                ["the", "of", "a", "an", "and", "or", "in",
+                                 "on", "at", "to", "for", "with", "is",
+                                 "was", "were", "be", "been", "from", "by",
+                                 "as", "this", "that", "not"])}))
+            SELECT doc_id, gram, count(*) AS n FROM kept GROUP BY 1, 2
+            UNION ALL
+            SELECT DISTINCT doc_id, '', 1 FROM fields
+            WHERE doc_id NOT IN (SELECT doc_id FROM kept)""",
+        # C5/C6: rule flags derived independently from the fixture
+        # arithmetic; per-label zero masks, renormalize, first-max
+        # argmax (all-zero vectors skip renormalization).
+        "q56_rule_overrides": """
+            WITH f AS (
+                SELECT doc_id,
+                       doc_id % 11 = 0 AS xeno,
+                       doc_id % 4 = 0 AS has_stem,
+                       doc_id % 6 = 0 AS has_celltype,
+                       doc_id % 5 = 0 AS has_primary,
+                       doc_id % 2 = 0 AS is_passaged,
+                       doc_id % 2 = 0 AND doc_id % 3 = 2 AS passaged_pos,
+                       doc_id % 3 = 0 AS found_clt,
+                       doc_id % 9 = 0 AS embry,
+                       NOT (doc_id % 11 = 0) AND NOT (doc_id % 3 = 0)
+                         AS noclt
+                FROM documents),
+            lab(i, label) AS (VALUES
+                (0, 'cell_line'), (1, 'in_vitro_differentiated_cells'),
+                (2, 'induced_pluripotent_stem_cells'),
+                (3, 'primary_cells'), (4, 'stem_cells'), (5, 'tissue')),
+            m AS (
+                SELECT f.doc_id, l.i, l.label,
+                       CASE WHEN
+                         CASE l.i
+                           WHEN 0 THEN xeno
+                             OR (NOT xeno AND found_clt AND embry)
+                             OR (noclt AND has_stem)
+                             OR (noclt AND has_primary
+                                 AND NOT is_passaged)
+                           WHEN 1 THEN xeno
+                             OR (NOT xeno AND found_clt)
+                             OR (noclt AND has_primary
+                                 AND NOT is_passaged)
+                           WHEN 2 THEN xeno
+                             OR (NOT xeno AND found_clt)
+                             OR (noclt AND has_primary
+                                 AND NOT is_passaged)
+                           WHEN 3 THEN xeno
+                             OR (NOT xeno AND passaged_pos)
+                             OR (NOT xeno AND found_clt)
+                             OR (noclt AND has_stem)
+                           WHEN 4 THEN xeno
+                             OR (NOT xeno AND found_clt)
+                           ELSE (NOT xeno AND is_passaged)
+                             OR (NOT xeno AND found_clt)
+                             OR (noclt AND has_stem)
+                             OR (noclt AND NOT has_stem
+                                 AND has_celltype)
+                             OR (noclt AND has_primary
+                                 AND NOT is_passaged)
+                         END
+                       THEN 0.0
+                       ELSE CAST((f.doc_id * 7 + l.i * 13) % 19 + 1
+                                 AS DOUBLE) END AS v
+                FROM f CROSS JOIN lab l),
+            t AS (SELECT doc_id, sum(v) AS total FROM m GROUP BY 1),
+            n AS (
+                SELECT m.doc_id, m.i, m.label,
+                       CASE WHEN t.total > 0 THEN m.v / t.total
+                            ELSE m.v END AS nv
+                FROM m JOIN t USING (doc_id))
+            SELECT doc_id, label AS sample_type,
+                   round(nv, 4) AS confidence
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY nv DESC, i) AS rn
+                  FROM n)
+            WHERE rn = 1""",
         # F1 key/value blocklist anti-joins + F3 per-kv key/value tokens
         # carrying the running char intervals.
         "q49_filter_init_tokens": f"""

@@ -254,7 +254,15 @@ def predict_sample_type(model: SampleTypeModel, label_list: list[str],
             .select("doc_id", vector_to_array("probability").alias("probs")))
     pred = pred.join(_rule_flags(kv, mapped_terms, real_values,
                                  cvcl_subsets), on="doc_id", how="left")
+    return apply_rule_overrides(pred, label_list)
 
+
+def apply_rule_overrides(pred: DataFrame,
+                         label_list: list[str]) -> DataFrame:
+    """C5 rule masks + C6 renormalize/argmax as a standalone operator
+    over (doc_id, probs: array<double>, <_rule_flags columns>) —
+    factored out of :func:`predict_sample_type` so the rule layer is
+    drivable (and oracle-checkable) independently of a fitted model."""
     xeno = F.col("is_xeno")
     no_clt = ~xeno & ~F.col("found_clt")
     masks = []
