@@ -2899,11 +2899,14 @@ def oracle_sql() -> dict[str, str]:
                 AND key NOT IN (SELECT key FROM keys
                                 GROUP BY key
                                 HAVING count(DISTINCT doc_id) > 200)),
+            kdf AS (
+              SELECT key, count(*) AS df FROM kept GROUP BY key),
             cand AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM kept a JOIN kept b ON a.key = b.key
+                   JOIN kdf d ON a.key = d.key
               WHERE a.doc_id < b.doc_id
-              GROUP BY 1, 2 HAVING count(*) >= 2),
+              GROUP BY 1, 2 HAVING count(*) >= 2 OR min(d.df) <= 16),
             {_er_score_chain_sql('', 'cand', 'reps')},
             star AS (
               SELECT r.doc_id AS doc_a, p.doc_id AS doc_b
@@ -2970,11 +2973,14 @@ def oracle_sql() -> dict[str, str]:
                 AND key NOT IN (SELECT key FROM bkeys
                                 GROUP BY key
                                 HAVING count(DISTINCT doc_id) > 200)),
+            bkdf AS (
+              SELECT key, count(*) AS df FROM bkept GROUP BY key),
             bcand AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM bkept a JOIN bkept b ON a.key = b.key
+                   JOIN bkdf d ON a.key = d.key
               WHERE a.doc_id < b.doc_id
-              GROUP BY 1, 2 HAVING count(*) >= 2),
+              GROUP BY 1, 2 HAVING count(*) >= 2 OR min(d.df) <= 16),
             {_er_score_chain_sql('b', 'bcand', 'breps')},
             bstar AS (
               SELECT r.doc_id AS doc_a, p.doc_id AS doc_b
@@ -3016,14 +3022,19 @@ def oracle_sql() -> dict[str, str]:
                                 WHERE n_docs > 200)),
             dcand AS (
               SELECT doc_a, doc_b FROM (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       s.n_docs AS df
                 FROM nkept a JOIN nkept b ON a.key = b.key
+                     JOIN sizes s ON a.key = s.key
                 WHERE a.doc_id < b.doc_id
                 UNION ALL
                 SELECT least(n.doc_id, o.doc_id) AS doc_a,
-                       greatest(n.doc_id, o.doc_id) AS doc_b
-                FROM nkept n JOIN bkeysu o ON n.key = o.key)
-              GROUP BY doc_a, doc_b HAVING count(*) >= 2),
+                       greatest(n.doc_id, o.doc_id) AS doc_b,
+                       s.n_docs AS df
+                FROM nkept n JOIN bkeysu o ON n.key = o.key
+                     JOIN sizes s ON n.key = s.key)
+              GROUP BY doc_a, doc_b
+              HAVING count(*) >= 2 OR min(df) <= 16),
             rp AS (
               SELECT doc_id, profile, toks FROM breps
               UNION ALL

@@ -58,21 +58,48 @@ from .resolution import (
 
 
 def delta_candidate_pairs(new_keys: DataFrame, base_keys: DataFrame,
-                          min_shared: int = 2) -> DataFrame:
+                          min_shared: int = 2,
+                          key_df: DataFrame | None = None,
+                          rare_df: int = 16) -> DataFrame:
     """Candidate pairs with ≥1 new endpoint: new×new (self-join) ∪
     new×base (equi-join), meta-blocked on the COMBINED shared-key
     count.  Orientation: doc_a < doc_b, so a pair appears once no
-    matter which side is new."""
+    matter which side is new.
+
+    ``key_df`` is the (key, n_docs) COMBINED document-frequency table
+    (the caller already computes it for the combined hot-key cap);
+    when provided and ``rare_df > 0``, a pair sharing ≥1 key with
+    ``n_docs ≤ rare_df`` bypasses ``min_shared`` — mirroring
+    :func:`..resolution.candidate_pairs`'s rare-key bypass so the
+    delta landing forms exactly the pairs a batch run over
+    base ∪ delta would (the batch↔incremental equality invariant)."""
+    use_rare = min_shared > 1 and rare_df > 0 and key_df is not None
     nn = (new_keys.alias("a").join(new_keys.alias("b"), on="key")
           .where(F.col("a.doc_id") < F.col("b.doc_id"))
-          .select(F.col("a.doc_id").alias("doc_a"),
+          .select(F.col("key"),
+                  F.col("a.doc_id").alias("doc_a"),
                   F.col("b.doc_id").alias("doc_b")))
     nb = (new_keys.alias("n").join(base_keys.alias("o"), on="key")
-          .select(F.least("n.doc_id", "o.doc_id").alias("doc_a"),
+          .select(F.col("key"),
+                  F.least("n.doc_id", "o.doc_id").alias("doc_a"),
                   F.greatest("n.doc_id", "o.doc_id").alias("doc_b")))
     pairs = nn.unionByName(nb)
+    if use_rare:
+        pairs = (pairs
+                 .join(key_df.select("key",
+                                     F.col("n_docs").alias("df")), on="key")
+                 .select("doc_a", "doc_b", "df"))
+    else:
+        pairs = pairs.select("doc_a", "doc_b")
     if min_shared <= 1:
-        return pairs.distinct()
+        return pairs.select("doc_a", "doc_b").distinct()
+    if use_rare:
+        return (pairs.groupBy("doc_a", "doc_b")
+                .agg(F.count("*").alias("n_shared"),
+                     F.min("df").alias("min_df"))
+                .where((F.col("n_shared") >= min_shared)
+                       | (F.col("min_df") <= rare_df))
+                .drop("n_shared", "min_df"))
     return (pairs.groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_shared"))
             .where(F.col("n_shared") >= min_shared)
@@ -130,6 +157,7 @@ def incremental_resolve(spark: SparkSession,
                         ngram: int = 4,
                         max_block: int = 200,
                         min_shared: int = 2,
+                        rare_df: int = 16,
                         base_reps: DataFrame | None = None,
                         base_keys: DataFrame | None = None,
                         idf: dict[str, float] | None = None,
@@ -220,7 +248,8 @@ def incremental_resolve(spark: SparkSession,
     new_keys = new_keys.join(hot_new.select("key"), on="key",
                              how="left_anti")
     pairs = delta_candidate_pairs(new_keys, base_keys,
-                                  min_shared=min_shared)
+                                  min_shared=min_shared,
+                                  key_df=sizes, rare_df=rare_df)
     if checkpoint:
         pairs = pairs.localCheckpoint(eager=True)
     # full-corpus IDF (base ∪ new).  Recomputing it is an O(base)

@@ -130,7 +130,8 @@ _PAIR_SCHEMA = T.StructType([
 ])
 
 
-def candidate_pairs(keys: DataFrame, min_shared: int = 2) -> DataFrame:
+def candidate_pairs(keys: DataFrame, min_shared: int = 2,
+                    rare_df: int = 16) -> DataFrame:
     """Self-join on blocking key; doc_a < doc_b dedups orientation.
     AQE skew-join handles residual hot keys.
 
@@ -142,19 +143,49 @@ def candidate_pairs(keys: DataFrame, min_shared: int = 2) -> DataFrame:
     so the prune costs nothing and cuts the downstream profile-join +
     scoring volume severalfold.
 
-    Known recall tradeoff (min_shared=2): near-dups whose ONLY
-    distinctive overlap is a single short token (<6 chars, so it yields
-    no char-n-gram keys) share one block and are pruned.  Exact
-    duplicates are unaffected — they never rely on blocking (see
-    _doc_rep_star)."""
-    a = keys.alias("a")
-    b = keys.alias("b")
+    Rare-key bypass (``rare_df``): a pair sharing even ONE key whose
+    document frequency is ≤ ``rare_df`` is admitted regardless of
+    ``min_shared``.  Near-unique keys (identifier tokens) are
+    high-precision blocks on their own, and as the corpus grows past
+    the point where every SECOND key type crosses the ``max_block``
+    hot cap, they become the only shared block a true near-dup pair
+    has — without the bypass, blocking recall cliffs (measured on the
+    synth corpus: cluster-pair recall 0.97 at 1M docs → 0.36 at 3M,
+    restored by the bypass; BENCH/ANALYSIS.md round-5).  Cost is
+    bounded: a rare key yields ≤ C(rare_df, 2) pairs, so the extra
+    candidate volume is O(#rare keys) = O(n) with constant ≤ 120.
+    The pairs are still scored + thresholded — the bypass admits
+    candidates, it never accepts them.  ``rare_df=0`` disables.
+
+    Residual tradeoff: near-dups whose only shared key is a single
+    MID-frequency token (df between ``rare_df`` and ``max_block``)
+    remain pruned.  Exact duplicates are unaffected — they never rely
+    on blocking (see _doc_rep_star)."""
+    if min_shared > 1 and rare_df > 0:
+        # keys is distinct (blocking_keys dedups), so count(*) = df;
+        # the (key, df) agg shares the join's hash partitioning on key
+        sizes = keys.groupBy("key").agg(F.count("*").alias("df"))
+        keyed = keys.join(sizes, on="key")
+    else:
+        keyed = keys
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cols = [F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b")]
+    if min_shared > 1 and rare_df > 0:
+        cols.append(F.col("a.df").alias("df"))
     pairs = (a.join(b, on="key")
              .where(F.col("a.doc_id") < F.col("b.doc_id"))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b")))
+             .select(*cols))
     if min_shared <= 1:
         return pairs.distinct()
+    if rare_df > 0:
+        return (pairs.groupBy("doc_a", "doc_b")
+                .agg(F.count("*").alias("n_shared"),
+                     F.min("df").alias("min_df"))
+                .where((F.col("n_shared") >= min_shared)
+                       | (F.col("min_df") <= rare_df))
+                .drop("n_shared", "min_df"))
     return (pairs.groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_shared"))
             .where(F.col("n_shared") >= min_shared)
@@ -542,6 +573,7 @@ def cluster_terms(clusters: DataFrame, mapped_terms: DataFrame) -> DataFrame:
 def resolve_entities_native(spark: SparkSession, documents: DataFrame,
                             threshold: float = 0.65,
                             max_block: int = 200,
+                            rare_df: int = 16,
                             checkpoint: bool = True) -> dict[str, DataFrame]:
     """ER with the NATIVE-ONLY scorer — a deterministic, SQL-expressible
     configuration used as the DuckDB-oracled correctness anchor for the
@@ -565,7 +597,7 @@ def resolve_entities_native(spark: SparkSession, documents: DataFrame,
     if checkpoint:
         reps = reps.localCheckpoint(eager=True)
     keys, hot = blocking_keys(reps, ngram=0, max_block=max_block)
-    pairs = candidate_pairs(keys)
+    pairs = candidate_pairs(keys, rare_df=rare_df)
     scored = score_pairs(pairs, reps, idf=None, reject_below=None)
     star, labels = _star_and_labels(profiles, reps, scored, threshold,
                                     checkpoint=checkpoint)
@@ -576,7 +608,7 @@ def resolve_entities_native(spark: SparkSession, documents: DataFrame,
 
 def resolve_entities(spark: SparkSession, documents: DataFrame,
                      threshold: float = 0.65, ngram: int = 4,
-                     max_block: int = 200,
+                     max_block: int = 200, rare_df: int = 16,
                      checkpoint: bool = True) -> dict[str, DataFrame]:
     """Full ER pass → {profiles, pairs, clusters, metrics}."""
     profiles = doc_profiles(documents)
@@ -592,7 +624,7 @@ def resolve_entities(spark: SparkSession, documents: DataFrame,
     if checkpoint:
         reps = reps.localCheckpoint(eager=True)
     keys, hot = blocking_keys(reps, ngram=ngram, max_block=max_block)
-    pairs = candidate_pairs(keys)
+    pairs = candidate_pairs(keys, rare_df=rare_df)
     scored = score_pairs(pairs, reps, idf=idf, default_idf=default_idf,
                          reject_below=threshold)
     if checkpoint:
