@@ -136,3 +136,62 @@ def test_resolve_entities_native_covers_and_is_deterministic(spark):
         == {tuple(r) for r in again.collect()}
     m = pairwise_f1(res["pairs"], truth, threshold=0.65)
     assert m["f1"] >= 0.95, m
+
+
+def test_candidate_pairs_rare_key_bypass(spark):
+    """Rare-key meta-blocking bypass (BENCH/ANALYSIS.md round-5 recall
+    cliff): one shared key with df <= rare_df admits a pair that
+    min_shared=2 alone would prune; one shared MID-frequency key
+    (df > rare_df) still prunes; two shared keys admit regardless."""
+    from metasra_pipeline_spark.er.resolution import candidate_pairs
+
+    rows = []
+    # d1,d2 share ONLY the rare key "id123" (df=2)
+    rows += [("d1", "id123"), ("d2", "id123")]
+    # d3,d4 share ONLY the mid-frequency key "mid" (df=20 via fillers)
+    rows += [("d3", "mid"), ("d4", "mid")]
+    rows += [(f"f{i:02d}", "mid") for i in range(18)]
+    # d5,d6 share TWO mid-frequency keys -> admitted by min_shared
+    rows += [("d5", "mid"), ("d6", "mid"),
+             ("d5", "mid2"), ("d6", "mid2")]
+    rows += [(f"g{i:02d}", "mid2") for i in range(18)]
+    keys = spark.createDataFrame(rows, "doc_id: string, key: string")
+
+    got = {(r.doc_a, r.doc_b)
+           for r in candidate_pairs(keys, min_shared=2, rare_df=16)
+           .collect()}
+    assert ("d1", "d2") in got            # rare-key bypass
+    assert ("d3", "d4") not in got        # single mid-df key still pruned
+    assert ("d5", "d6") in got            # min_shared path intact
+    # fillers share one mid-df key each -> none admitted
+    assert not any(a.startswith("f") and b.startswith("f")
+                   for a, b in got)
+
+    # rare_df=0 disables the bypass entirely
+    got0 = {(r.doc_a, r.doc_b)
+            for r in candidate_pairs(keys, min_shared=2, rare_df=0)
+            .collect()}
+    assert ("d1", "d2") not in got0 and ("d5", "d6") in got0
+
+
+def test_delta_candidate_pairs_rare_key_bypass(spark):
+    """The incremental path honors the same bypass via the combined-df
+    table, keeping the batch<->incremental pair-formation invariant."""
+    from pyspark.sql import functions as F
+
+    from metasra_pipeline_spark.er.incremental import delta_candidate_pairs
+
+    new_rows = [("n1", "id123"), ("n2", "mid")]
+    base_rows = [("b1", "id123"), ("b2", "mid")]
+    base_rows += [(f"f{i:02d}", "mid") for i in range(18)]
+    new_keys = spark.createDataFrame(new_rows, "doc_id: string, key: string")
+    base_keys = spark.createDataFrame(base_rows, "doc_id: string, key: string")
+    sizes = (new_keys.unionByName(base_keys).groupBy("key")
+             .agg(F.countDistinct("doc_id").alias("n_docs")))
+
+    got = {(r.doc_a, r.doc_b)
+           for r in delta_candidate_pairs(new_keys, base_keys, min_shared=2,
+                                          key_df=sizes, rare_df=16)
+           .collect()}
+    assert ("b1", "n1") in got            # rare shared key, new x base
+    assert ("b2", "n2") not in got        # mid-df single key still pruned
