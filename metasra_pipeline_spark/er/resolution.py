@@ -94,7 +94,12 @@ def blocking_keys(profiles: DataFrame, ngram: int = 4,
     # non-identical near-duplicates.
     sizes = keys.groupBy("key").agg(F.countDistinct("doc_id").alias("n_docs"))
     hot = sizes.where(F.col("n_docs") > max_block)
-    kept = keys.join(hot.select("key"), on="key", how="left_anti")
+    # inner-join the under-cap sizes instead of anti-joining the hot
+    # set: same kept rows, but each carries its document frequency as
+    # ``df`` — candidate_pairs' rare-key bypass then reuses this
+    # aggregation instead of re-shuffling the key table to recount
+    kept = (keys.join(sizes.where(F.col("n_docs") <= max_block)
+                      .select("key", F.col("n_docs").alias("df")), on="key"))
     return kept, hot
 
 
@@ -162,12 +167,18 @@ def candidate_pairs(keys: DataFrame, min_shared: int = 2,
     remain pruned.  Exact duplicates are unaffected — they never rely
     on blocking (see _doc_rep_star)."""
     if min_shared > 1 and rare_df > 0:
-        # keys is distinct (blocking_keys dedups), so count(*) = df;
-        # the (key, df) agg shares the join's hash partitioning on key
-        sizes = keys.groupBy("key").agg(F.count("*").alias("df"))
-        keyed = keys.join(sizes, on="key")
+        if "df" in keys.columns:
+            # blocking_keys already carries per-key document frequency
+            # — no extra aggregation/shuffle needed
+            keyed = keys
+        else:
+            # bare (doc_id, key) input: keys is distinct (blocking_keys
+            # dedups), so count(*) = df; the (key, df) agg shares the
+            # join's hash partitioning on key
+            sizes = keys.groupBy("key").agg(F.count("*").alias("df"))
+            keyed = keys.join(sizes, on="key")
     else:
-        keyed = keys
+        keyed = keys.drop("df")
     a = keyed.alias("a")
     b = keyed.alias("b")
     cols = [F.col("a.doc_id").alias("doc_a"),
