@@ -244,6 +244,11 @@ def incremental_resolve(spark: SparkSession,
              .unionByName(base_touched.select("key", "doc_id"))
              .groupBy("key")
              .agg(F.countDistinct("doc_id").alias("n_docs")))
+    if checkpoint:
+        # sizes is consumed twice (hot-cap filter + rare-key df join in
+        # delta_candidate_pairs); without a cut each use re-executes the
+        # whole combined-key subtree, including the O(base) key scan
+        sizes = sizes.localCheckpoint(eager=True)
     hot_new = sizes.where(F.col("n_docs") > max_block)
     new_keys = new_keys.join(hot_new.select("key"), on="key",
                              how="left_anti")
