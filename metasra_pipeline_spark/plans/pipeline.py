@@ -162,8 +162,18 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
     e1 = I.linked_terms_of_superterms(nt, ref)                 # I1
     nt = nt.unionByName(_dsts(e1)).distinct()
     e2 = I.cell_line_to_implied_disease(nt, ref)               # I2
-    nt = nt.unionByName(_dsts(e2)).distinct()
-    inf12 = e1.unionByName(e2)
+    # Cut the I1∪I2 edge accumulator: it feeds FIVE downstream subtrees
+    # (P3's graph build, e3's node-term set, e7's node-term set twice,
+    # the inf_pre_rv union) — without the cut each consumer re-derives
+    # the broadcast-join + distinct chain (measured: inf_pre_rv cut
+    # 6.2–8.5 s at 1k docs, the pipeline's most expensive cut; see
+    # OPTIMIZATION_r06.md).  The node-term set after I2 is then rebuilt
+    # from the two cut leaves as node_terms0 ∪ dsts(inf12) — the same
+    # row set ((A ∪ d1).distinct() ∪ d2).distinct() ≡
+    # (A ∪ (d1 ∪ d2)).distinct() under distinct — so every downstream
+    # stage sees identical input rows.
+    inf12 = snap.cut(e1.unionByName(e2), "inf12")
+    nt = node_terms0.unionByName(_dsts(inf12)).distinct()
 
     m = P.remove_subinterval_matches(m, deriv, inf12, roots)   # P3
     m = snap.cut(m, "m_p3")
