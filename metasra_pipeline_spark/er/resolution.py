@@ -303,9 +303,12 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
     rejects a large share of mid-Jaccard pairs, and evaluating it is
     far cheaper than the per-row kernel it would hand those pairs to.
     """
+    import os as _os
+
     spark = pairs.sparkSession
     aug = reject_below is not None
     prof = profiles
+    prof_materialized = False
     a_extra, b_extra = [], []
     if aug:
         idf_df = None
@@ -318,9 +321,9 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
         # without a materialization the explode+join+groupBy subtree
         # runs twice (measured 90.7 s vs 33.4 s for the native scoring
         # plan at 300k docs); one row per doc, bounded memory
-        import os as _os
         if _os.environ.get("ER_PROF_CHECKPOINT", "1") == "1":
             prof = prof.localCheckpoint(eager=True)
+            prof_materialized = True
         a_extra = [F.col("tok_w").alias("mw_a"), F.col("wsum").alias("wsum_a"),
                    F.col("first_chars").alias("fc_a"),
                    F.col("digit_toks").alias("dg_a"),
@@ -329,17 +332,35 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
                    F.col("first_chars").alias("fc_b"),
                    F.col("digit_toks").alias("dg_b"),
                    F.col("alpha_toks").alias("al_b")]
-    enriched = (pairs
-                .join(prof.select(F.col("doc_id").alias("doc_a"),
-                                  F.col("profile").alias("prof_a"),
-                                  F.col("tokens").alias("toks_a"),
-                                  *a_extra),
-                      on="doc_a")
-                .join(prof.select(F.col("doc_id").alias("doc_b"),
-                                  F.col("profile").alias("prof_b"),
-                                  F.col("tokens").alias("toks_b"),
-                                  *b_extra),
-                      on="doc_b"))
+    # Join strategy (guide §3.1): Catalyst sizes a localCheckpoint child
+    # at defaultSizeInBytes, so the two profile-enrichment joins plan as
+    # shuffle joins even when the profile side is a few thousand rows —
+    # shuffling the pair table (and its heavy map/array payload) three
+    # times (join a, join b, CPU repartition).  When the MATERIALIZED
+    # profile frame is provably small (a cheap count on the checkpoint,
+    # bounded by ER_BROADCAST_PROFILES_MAX rows ≈ low hundreds of MB
+    # framed), broadcast it to both joins and repartition the LIGHT
+    # id-only pair table up front instead — the heavy enriched rows then
+    # never cross an exchange at all.  At corpus scale the count exceeds
+    # the cap and the plan falls back to the shuffle-join shape
+    # unchanged (scale-adaptive, not a local-only tune).
+    sc = pairs.sparkSession.sparkContext
+    bcast_max = int(_os.environ.get("ER_BROADCAST_PROFILES_MAX", "200000"))
+    use_bcast = False
+    if bcast_max > 0 and prof_materialized:
+        use_bcast = prof.count() <= bcast_max
+    prof_a = prof.select(F.col("doc_id").alias("doc_a"),
+                         F.col("profile").alias("prof_a"),
+                         F.col("tokens").alias("toks_a"), *a_extra)
+    prof_b = prof.select(F.col("doc_id").alias("doc_b"),
+                         F.col("profile").alias("prof_b"),
+                         F.col("tokens").alias("toks_b"), *b_extra)
+    if use_bcast:
+        pairs_sp = pairs.repartition(sc.defaultParallelism * 3)
+        enriched = (pairs_sp.join(F.broadcast(prof_a), on="doc_a")
+                    .join(F.broadcast(prof_b), on="doc_b"))
+    else:
+        enriched = pairs.join(prof_a, on="doc_a").join(prof_b, on="doc_b")
     enriched = enriched.withColumn(
         "j0", F.size(F.array_intersect("toks_a", "toks_b"))
         / F.size(F.array_union("toks_a", "toks_b")))
@@ -350,8 +371,10 @@ def score_pairs(pairs: DataFrame, profiles: DataFrame,
     # (measured 9 tasks/52 s vs 45 tasks/39 s on this very stage), so
     # repartition FIRST, then put both CPU kernels — the native
     # levenshtein and the Python scorer — downstream of that exchange.
-    sc = pairs.sparkSession.sparkContext
-    enriched = enriched.repartition(sc.defaultParallelism * 3)
+    # In the broadcast shape the exchange already happened on the
+    # id-only pairs above; broadcast joins preserve it.
+    if not use_bcast:
+        enriched = enriched.repartition(sc.defaultParallelism * 3)
 
     lr_expr = ("IF(greatest(length(prof_a), length(prof_b)) = 0, "
                "cast(1.0 as double), 1.0 - levenshtein(prof_a, prof_b) "
@@ -531,18 +554,42 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                                      F.col("u").alias("v")))
         return two.repartition("u").dropDuplicates(["u", "v"])
 
+    def converged(E: DataFrame) -> bool:
+        # Direct fixed-point test instead of a changed-since-last-round
+        # signature: the alternating algorithm's fixed point is exactly
+        # a star forest rooted at per-component minima — every node
+        # either sees only LARGER neighbors (a root) or exactly one
+        # SMALLER neighbor (a leaf pointing at its root).  Violations
+        # are countable in one aggregation that reuses sym_dedup's
+        # hash(u) partitioning (no exchange), and the count() action
+        # doubles as the job that materializes the round's lazy
+        # checkpoint — so convergence is detected ON the round that
+        # reaches the fixed point, saving the signature scheme's extra
+        # confirmation round (and short-circuiting inputs that are
+        # already star forests before any round runs).
+        viol = (E.groupBy("u")
+                .agg(F.min("v").alias("_mn"), F.max("v").alias("_mx"),
+                     F.count("*").alias("_c"))
+                .where(~((F.col("_mn") > F.col("u"))
+                         | ((F.col("_mx") < F.col("u"))
+                            & (F.col("_c") == 1)))))
+        return viol.isEmpty()
+
     # symmetric edge list (u, v), self-loops implicit via least() below
     e = sym_dedup(edges.select(F.col("doc_a").alias("u"),
                                F.col("doc_b").alias("v")))
     if checkpoint:
-        e = e.localCheckpoint(eager=True)  # input edges: cut upstream lineage once
+        # lazy: the convergence test below materializes the checkpoint
+        # and answers in the same driver sync
+        e = e.localCheckpoint(eager=False)
 
     def min_neighbor(E: DataFrame) -> DataFrame:
         return (E.groupBy("u")
                 .agg(F.least(F.min("v"), F.first("u")).alias("m")))
 
-    prev_sig = None
     for _ in range(max_iter):
+        if converged(e):
+            break
         # large-star: for v ∈ N(u) with v > u attach v to m(u)
         m = min_neighbor(e)
         ls = (join_m(e, m)
@@ -559,16 +606,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         ss = ss_pairs.where(F.col("u") != F.col("v"))
         e = sym_dedup(ss)
         if checkpoint:
-            # lazy: the sig job below materializes the checkpoint AND
-            # computes the convergence signature in one driver sync
             e = e.localCheckpoint(eager=False)
-        sig = (e.select(F.count("*").alias("n"),
-                        F.expr("bit_xor(xxhash64(u, v))").alias("h"))
-               .first())
-        sig = (sig["n"], sig["h"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
 
     # after convergence every node points at its component minimum
     labels = (e.groupBy("u").agg(F.min("v").alias("root"))
