@@ -147,16 +147,26 @@ def extract_real_values(kv: DataFrame, tok: DataFrame, matches: DataFrame,
     generated before this stage (downstream_nodes walks them).
     """
     key_targets = key_side_targets(kv, matches)
-    # extend key-side targets by the inference closure existing at R1 time
-    ext = key_targets
+    # extend key-side targets by the inference closure existing at R1
+    # time — FRONTIER form: hop only the newest layer instead of
+    # re-joining the whole accumulated set each iteration (the old
+    # accumulate-and-distinct shape re-derived hop 1 inside hop 2 and
+    # paid a full distinct per hop).  The union below may carry
+    # duplicate rows (multiple paths to the same target); the ``props``
+    # projection right after dedups, so the row SET downstream is
+    # unchanged.
+    edges = inf_edges.select("doc_id", F.col("src_id").alias("target_id"),
+                             "dst_id")
+    frontier = key_targets
+    layers = [key_targets]
     for _ in range(2):
-        hop = (ext.join(inf_edges.select("doc_id",
-                                         F.col("src_id").alias("target_id"),
-                                         "dst_id"),
-                        on=["doc_id", "target_id"])
-               .select("doc_id", "key_start", "key_end", "val_start",
-                       "val_end", F.col("dst_id").alias("target_id")))
-        ext = ext.unionByName(hop).distinct()
+        frontier = (frontier.join(edges, on=["doc_id", "target_id"])
+                    .select("doc_id", "key_start", "key_end", "val_start",
+                            "val_end", F.col("dst_id").alias("target_id")))
+        layers.append(frontier)
+    ext = layers[0]
+    for f in layers[1:]:
+        ext = ext.unionByName(f)
 
     pref = F.create_map(
         *[F.lit(x) for kv_ in PROPERTY_PREFERENCE.items() for x in kv_])

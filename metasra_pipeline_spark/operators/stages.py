@@ -47,6 +47,11 @@ def _is_num():
 
 
 def dedup_tokens(tok: DataFrame) -> DataFrame:
+    # NOTE r06: a doc_id-aligned variant (repartition(N, doc_id) +
+    # dropDuplicates so downstream per-doc joins reuse the layout) was
+    # measured and REVERTED: it regressed edges_t10/t9 5-10× at sf0.1 —
+    # the explicit exchange loses partial map-side dedup and pins AQE
+    # out of its runtime join planning.  Keep the plain dropDuplicates.
     return tok.dropDuplicates(TOK_COLS)
 
 
