@@ -139,11 +139,19 @@ def term_provenance(final_matches: DataFrame, inf_edges: DataFrame,
     # (measured 25.1 s → 4.4 s for this function at 1k docs / 32 cores).
     # An empty frontier ends the walk early (inference depth rarely
     # exceeds 2-3; the 6-hop bound is the p_53 worst case).
-    prov = prov.localCheckpoint(eager=True)
-    all_edges = all_edges.localCheckpoint(eager=True)
+    # the two base checkpoints are independent — materialize them
+    # concurrently (guide §2.6; FAIR scheduler is session default)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _f_p = _ex.submit(lambda: prov.localCheckpoint(eager=True))
+        _f_e = _ex.submit(lambda: all_edges.localCheckpoint(eager=True))
+        prov, all_edges = _f_p.result(), _f_e.result()
     frontier = prov
     layers = [prov]
     for d in range(1, max_depth + 1):
+        # lazy checkpoint + count: ONE driver-synchronized job per depth
+        # materializes the frontier AND answers the empty-frontier
+        # termination test (was eager checkpoint + isEmpty = two)
         frontier = (frontier.join(all_edges, on=["doc_id", "term_id"])
                     .select("doc_id", F.col("dst_id").alias("term_id"),
                             "orig_key", "orig_val",
@@ -154,8 +162,8 @@ def term_provenance(final_matches: DataFrame, inf_edges: DataFrame,
                                      F.array(F.concat(F.lit("term:"),
                                                       F.col("dst_id"))))
                             .alias("mapping_path"))
-                    .localCheckpoint(eager=True))
-        if frontier.isEmpty():
+                    .localCheckpoint(eager=False))
+        if frontier.count() == 0:
             break
         layers.append(frontier)
     prov = layers[0]

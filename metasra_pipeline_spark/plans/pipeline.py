@@ -224,14 +224,21 @@ def run_mapping_pipeline(spark: SparkSession, documents: DataFrame,
               .select("doc_id", "property_id", "value", "unit_id",
                       "consequent", F.col("_p.orig_key").alias("orig_key"),
                       F.col("_p.orig_val").alias("orig_val")))
-    rv_all = snap.cut(rv_all, "real_values")
+    # real_values and m_final are independent consumers of the m_p3 /
+    # inf_pre_rv cuts — materialize the two cuts CONCURRENTLY from
+    # driver threads (guide §2.6: one job's tasks fill the other's
+    # stage-barrier drains; the FAIR scheduler is session default).
+    # Results are frames either way; only wall-clock changes.
+    m_pri = P.prioritize_exact_over_fuzzy(m)                   # P1
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _f_rv = _ex.submit(snap.cut, rv_all, "real_values")
+        _f_m = _ex.submit(snap.cut, m_pri, "m_final")
+        rv_all, m = _f_rv.result(), _f_m.result()
 
     e6 = I.implied_developmental_stage(rv_all)                 # I6
     e4 = I.consequent_cultured_cell(nt)                        # I4
     inf = inf_r1.unionByName(e5).unionByName(e6).unionByName(e4)
-
-    m = P.prioritize_exact_over_fuzzy(m)                       # P1
-    m = snap.cut(m, "m_final")
     inf = snap.cut(inf, "inf_edges")
 
     mapped = C.consolidate(
