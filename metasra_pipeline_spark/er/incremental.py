@@ -73,6 +73,14 @@ def delta_candidate_pairs(new_keys: DataFrame, base_keys: DataFrame,
     :func:`..resolution.candidate_pairs`'s rare-key bypass so the
     delta landing forms exactly the pairs a batch run over
     base ∪ delta would (the batch↔incremental equality invariant)."""
+    if min_shared > 1 and rare_df > 0 and key_df is None:
+        # a caller asking for the bypass without the combined-df table
+        # would silently form pairs that violate the batch↔incremental
+        # equality invariant (ADVICE r05) — refuse instead
+        raise ValueError(
+            "delta_candidate_pairs: rare_df > 0 requires key_df (the "
+            "combined base∪delta document-frequency table); pass "
+            "rare_df=0 to disable the bypass explicitly")
     use_rare = min_shared > 1 and rare_df > 0 and key_df is not None
     nn = (new_keys.alias("a").join(new_keys.alias("b"), on="key")
           .where(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -172,10 +172,13 @@ def candidate_pairs(keys: DataFrame, min_shared: int = 2,
             # — no extra aggregation/shuffle needed
             keyed = keys
         else:
-            # bare (doc_id, key) input: keys is distinct (blocking_keys
-            # dedups), so count(*) = df; the (key, df) agg shares the
-            # join's hash partitioning on key
-            sizes = keys.groupBy("key").agg(F.count("*").alias("df"))
+            # bare (doc_id, key) input: countDistinct, not count(*) —
+            # duplicate (doc_id, key) rows from a non-blocking_keys
+            # caller would otherwise inflate df and silently distort
+            # the rare-key bypass (ADVICE r05); the (key, df) agg
+            # shares the join's hash partitioning on key
+            sizes = (keys.groupBy("key")
+                     .agg(F.countDistinct("doc_id").alias("df")))
             keyed = keys.join(sizes, on="key")
     else:
         keyed = keys.drop("df")
@@ -767,20 +770,44 @@ def resolve_entities_checkpointed(spark: SparkSession, documents: DataFrame,
     profiles = snap.cut(doc_profiles(documents), "er_profiles")
     reps = snap.cut(representative_profiles(profiles), "er_reps")
 
+    # blocking parameters are part of er_scored's identity: a workdir
+    # committed under different blocking semantics (e.g. pre-rare-key-
+    # bypass) must NOT resume into a run with new parameters, or the
+    # pipeline silently mixes candidate-formation semantics (ADVICE
+    # r05).  The params are recorded in the snapshot summary and the
+    # resume is invalidated on mismatch.
+    blocking_params = {"blocking-min-shared": "2", "blocking-rare-df": "16",
+                      "blocking-max-block": str(max_block),
+                      "blocking-ngram": str(ngram)}
     scored_path = _os.path.join(workdir, "er_scored")
-    if (IceLiteTable.exists(scored_path)
-            and IceLiteTable.load(scored_path).snapshot_for_stage(
-                "er_scored") is not None):
-        # resume: skip blocking, IDF collect and the scoring kernel
-        scored = IceLiteTable.load(scored_path).read(spark)
+    resumed_scored = None
+    if IceLiteTable.exists(scored_path):
+        t_scored = IceLiteTable.load(scored_path)
+        snap_meta = t_scored.snapshot_for_stage("er_scored")
+        if snap_meta is not None:
+            recorded = {k: str(v) for k, v in
+                        (snap_meta.get("summary") or {}).items()
+                        if k.startswith("blocking-")}
+            if recorded == blocking_params:
+                # resume: skip blocking, IDF collect, scoring kernel
+                resumed_scored = t_scored.read(spark)
+    if resumed_scored is not None:
+        scored = resumed_scored
         snap.stages_resumed.append("er_scored")
     else:
         idf, default_idf = token_idf(profiles)
         keys, _hot = blocking_keys(reps, ngram=ngram, max_block=max_block)
         pairs = candidate_pairs(keys)
-        scored = snap.cut(
+        t_scored = (IceLiteTable.load(scored_path)
+                    if IceLiteTable.exists(scored_path)
+                    else IceLiteTable.create(scored_path))
+        t_scored.commit(
             score_pairs(pairs, reps, idf=idf, default_idf=default_idf,
-                        reject_below=threshold), "er_scored")
+                        reject_below=threshold),
+            operation="overwrite", stage="er_scored",
+            summary=blocking_params)
+        scored = t_scored.read(spark)
+        snap.stages_computed.append("er_scored")
 
     # the resume check must precede connected_components: CC runs its
     # driver-synchronized rounds EAGERLY at construction, so building

@@ -181,3 +181,34 @@ def test_icelite_pipeline_kill_and_rerun_resume(spark, refdata, tmp_path):
     assert snap3.stages_computed == []
     assert {(r["doc_id"], r["term_id"], r["consequent"])
             for r in mapped3.collect()} == out1
+
+
+def test_er_scored_resume_invalidated_on_blocking_param_change(
+        spark, tmp_path):
+    """A committed er_scored snapshot records its blocking parameters;
+    a re-run with DIFFERENT parameters must recompute instead of
+    resuming (mixed-semantics resume guard, ADVICE r05)."""
+    from metasra_pipeline_spark.datagen import synth_documents
+    from metasra_pipeline_spark.er.resolution import (
+        resolve_entities_checkpointed,
+    )
+
+    docs = (synth_documents(spark, 60, seed=21)
+            .select("doc_id", "spans").localCheckpoint())
+    wd = str(tmp_path / "er_params")
+    _res1, snap1 = resolve_entities_checkpointed(spark, docs, wd,
+                                                 threshold=0.65)
+    assert "er_scored" in snap1.stages_computed
+
+    # same params: resumes
+    _res2, snap2 = resolve_entities_checkpointed(spark, docs, wd,
+                                                 threshold=0.65)
+    assert "er_scored" in snap2.stages_resumed
+
+    # different max_block: the committed snapshot's blocking params no
+    # longer match -> er_scored must be recomputed, not resumed
+    _res3, snap3 = resolve_entities_checkpointed(spark, docs, wd,
+                                                 threshold=0.65,
+                                                 max_block=50)
+    assert "er_scored" in snap3.stages_computed
+    assert "er_scored" not in snap3.stages_resumed
