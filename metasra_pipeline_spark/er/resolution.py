@@ -679,14 +679,24 @@ def resolve_entities(spark: SparkSession, documents: DataFrame,
     if checkpoint:
         profiles = profiles.localCheckpoint(eager=True)
     # IDF over the FULL corpus (true document frequencies, dups and all)
-    idf, default_idf = token_idf(profiles)
+    # and the rep dedup both depend only on the materialized profiles —
+    # run the IDF collect and the reps checkpoint CONCURRENTLY (guide
+    # §2.6; FAIR scheduler is session default).
     # dedup-before-ER: blocking + pairwise scoring see one rep per
     # distinct profile; identical-profile members attach via star edges
     # and CC merges the groups — pair volume shrinks quadratically in
     # dup-heavy data with identical clustering output
-    reps = representative_profiles(profiles)
     if checkpoint:
-        reps = reps.localCheckpoint(eager=True)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as _ex:
+            _f_idf = _ex.submit(token_idf, profiles)
+            _f_reps = _ex.submit(
+                lambda: representative_profiles(profiles)
+                .localCheckpoint(eager=True))
+            (idf, default_idf), reps = _f_idf.result(), _f_reps.result()
+    else:
+        idf, default_idf = token_idf(profiles)
+        reps = representative_profiles(profiles)
     keys, hot = blocking_keys(reps, ngram=ngram, max_block=max_block)
     pairs = candidate_pairs(keys, rare_df=rare_df)
     scored = score_pairs(pairs, reps, idf=idf, default_idf=default_idf,

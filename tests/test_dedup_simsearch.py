@@ -339,3 +339,18 @@ def test_knn_label_cap_bounds_skewed_label(spark):
     full_hot = knn_join_per_label(emb, k=50).where("label = 'hot'")
     assert (full_hot.select("id_a").union(full_hot.select("id_b"))
             .distinct().count()) == 40
+
+
+def test_cosine_neardup_numpy_attach_bit_identical(spark):
+    """The scale-gated numpy attach kernel (broadcast matrix +
+    per-dimension left-to-right fold) must produce the SAME rows and
+    the SAME doubles as the JVM attach-join — same blocking, same
+    accumulation order, rounding applied JVM-side in both."""
+    from metasra_pipeline_spark.functions.dedup import cosine_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    jvm = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in cosine_near_dup_pairs(emb, numpy_attach=False).collect()}
+    np_ = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in cosine_near_dup_pairs(emb, numpy_attach=True).collect()}
+    assert jvm == np_ and len(jvm) > 0
